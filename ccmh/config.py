@@ -1,0 +1,264 @@
+"""Structured configuration for the ccmh framework.
+
+One dataclass replaces the reference's two-stage argparse dance
+(reference: argsbase.py:4-37 plus each train/<METHOD>/get_args.py, merged via
+``argparse.Namespace(**vars(a), **vars(b))``).  Defaults are identical to the
+reference so runs are comparable; per-method hyperparameters live in typed
+sub-configs keyed by method name.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+METHODS = (
+    "DSPH", "DCHMT", "TwDH", "MITH", "DNPH", "DHaPH", "DMsH_LN", "DNpH",
+    "DPBE", "DDWSH", "DDBH", "DScPH", "DPSIH", "DGHDGH",
+)
+
+# Per-dataset class counts (reference: train/base.py:39-52).
+DATASET_NCLASS = {"flickr": 24, "coco": 80, "nuswide": 21, "iapr": 291}
+
+
+@dataclass
+class DCHMTConfig:
+    # reference: train/DCHMT/get_args.py:11-16
+    hash_layer: str = "select"            # "select" (softmax pairs) or "linear"
+    similarity_function: str = "euclidean"  # "cosine" or "euclidean"
+    loss_type: str = "l2"                 # "l1" or "l2"
+    vartheta: float = 0.5                 # tolerated error-code rate
+    sim_threshold: float = 0.1
+
+
+@dataclass
+class DSPHConfig:
+    # reference: train/DSPH/get_args.py:11-13, loss.py:13-20
+    hypseed: int = 0
+    alpha: float = 0.8                    # pairwise regulariser weight
+    proxy_lr: float = 0.02                # SGD lr for proxies (hash_train.py:44)
+    proxy_momentum: float = 0.9
+    proxy_weight_decay: float = 5e-4
+
+
+@dataclass
+class MITHConfig:
+    # reference: train/MITH/get_args.py:16-28
+    hyper_tokens_intra: float = 1.0
+    hyper_cls_inter: float = 10.0
+    hyper_quan: float = 8.0
+    hyper_info_nce: float = 50.0
+    hyper_alpha: float = 0.01
+    hyper_lambda: float = 0.99            # EMA factor for joint sign target
+    hyper_distill: float = 1.0
+    top_k_label: int = 8                  # localized token aggregation top-k
+    res_mlp_layers: int = 2
+    transformer_layers: int = 2
+    nce_temperature: float = 0.07
+
+
+@dataclass
+class DNPHConfig:
+    # reference: train/DNPH_TOMM/{get_args.py,loss.py,b_reg.py,hash_train.py}
+    proxy_lr: float = 1e-4
+    noise_weight: float = 0.1             # b_reg.py:41 scaling of noise term
+    quan_alpha: float = 0.01
+
+
+@dataclass
+class TwDHConfig:
+    # reference: train/TwDH/get_args.py + hash_train.py
+    low_rate: float = 0.0                 # weight of short-code losses
+    short_dims: Tuple[int, ...] = ()      # e.g. (16,) for long=32
+    center_path: str = ""                 # dir with long/short/trans assets
+
+
+@dataclass
+class DHaPHConfig:
+    # reference: train/DHaPH/{get_args.py,HPloss.py,hp_model.py}
+    n_proxies: int = 500                  # trainable LCAs
+    curvature: float = 0.1                # Poincare ball c
+    clip_r: float = 2.3
+    hp_lr: float = 1e-5
+    temperature: float = 0.1
+    topk: int = 10                        # reciprocal-topk triplet mining
+    ms_warm_epoch_frac: float = 1.0 / 3.0
+
+
+@dataclass
+class DMsHLNConfig:
+    # reference: train/DMsH_LN/{MSLOSS.py,labelnet.py}
+    ms_thresh: float = 0.5
+    ms_margin: float = 0.1
+    scale_pos: float = 2.0
+    scale_neg: float = 40.0
+    labelnet_lr: float = 1e-3
+
+
+@dataclass
+class DNpHTMMConfig:
+    # reference: train/DNpH_TMM/loss.py (quadratic mutual information)
+    pass
+
+
+@dataclass
+class DPBEConfig:
+    # reference: train/DPBE/{get_args.py,hash_train.py}
+    n_samples: int = 5                    # posterior weight samples per step
+    hessian_ema: float = 0.999
+    max_pairs: int = 5000
+    prior_prec: float = 1.0
+    use_lam: bool = True
+
+
+@dataclass
+class DDWSHConfig:
+    # reference: train/DDWSH/loss.py
+    beta_init: float = 1.2
+    margin: float = 0.2
+    nu: float = 0.0
+    cutoff: float = 0.5
+    nonzero_loss_cutoff: float = 1.4
+    beta_lr: float = 5e-4
+
+
+@dataclass
+class DDBHConfig:
+    # reference: train/DDBH/loss.py + hash_train.py
+    quan_weight: float = 0.1
+    sigmoid_alpha: float = 1.0
+
+
+@dataclass
+class DScPHConfig:
+    # reference: train/DScPH/{CPF_loss.py,FAST_HPP.py}
+    tau: float = 0.9
+    bit_var_weight: float = 0.1
+    rot_lr: float = 1e-3
+
+
+@dataclass
+class DPSIHConfig:
+    # reference: train/DPSIH/{Loss.py,get_args.py}
+    msc_weight: float = 100.0
+    margin: float = 0.25
+    sim_kind: str = "cosine"
+    grad_clip: float = 2.0
+
+
+@dataclass
+class DGHDGHConfig:
+    # reference: train/DGHDGH/{loss.py,get_args.py} (incomplete upstream; the
+    # ccmh implementation reconstructs the GNN-hard-negative pipeline).
+    gnn_hidden: int = 512
+    lambda3_ema: float = 0.9
+    n_interp: int = 4
+
+
+_METHOD_CONFIGS = {
+    "DCHMT": DCHMTConfig, "DSPH": DSPHConfig, "MITH": MITHConfig,
+    "DNPH": DNPHConfig, "TwDH": TwDHConfig, "DHaPH": DHaPHConfig,
+    "DMsH_LN": DMsHLNConfig, "DNpH": DNpHTMMConfig, "DPBE": DPBEConfig,
+    "DDWSH": DDWSHConfig, "DDBH": DDBHConfig, "DScPH": DScPHConfig,
+    "DPSIH": DPSIHConfig, "DGHDGH": DGHDGHConfig,
+}
+
+
+@dataclass
+class Config:
+    """Top-level run configuration (defaults: reference argsbase.py:4-37)."""
+
+    # run identity
+    method: str = "DCHMT"
+    dataset: str = "flickr"
+    output_dim: int = 16                  # hash code length K
+    is_train: bool = True
+
+    # paths
+    save_dir: str = "./result/"
+    clip_path: str = ""                   # OpenAI ViT-B-32.pt (torch) or converted .npz
+    pretrained: str = ""                  # resume weights
+    data_dir: str = ""                    # dir with index.mat/caption.mat/label.mat
+    save_mat: bool = True
+    save_model: bool = False
+    save_csv: bool = True
+    valid: bool = True
+
+    # schedule
+    epochs: int = 200
+    batch_size: int = 300
+    query_num: int = 5000
+    train_num: int = 10000
+    seed: int = 1814
+    display_step: int = 50
+    lr_decay_freq: int = 5
+    lr_decay: float = 0.9
+
+    # optimization
+    lr: float = 1e-3                      # hashing-head lr
+    clip_lr: float = 1e-5                 # CLIP backbone lr
+    weight_decay: float = 0.2
+    warmup_proportion: float = 0.1
+
+    # model / data shape
+    resolution: int = 224
+    max_words: int = 32
+    vit_use: bool = True
+
+    # TPU-specific
+    mesh_shape: Tuple[int, ...] = (1,)    # data-parallel mesh ("data" axis)
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"        # "bfloat16" for production
+    eval_batch: int = 512
+    checkpoint_every: int = 0             # orbax checkpoint period (0 = off)
+    profile: bool = False
+
+    # filled in at runtime
+    nclass: int = 0
+    retrieval_num: int = 0
+
+    # per-method hyperparameters
+    dchmt: DCHMTConfig = field(default_factory=DCHMTConfig)
+    dsph: DSPHConfig = field(default_factory=DSPHConfig)
+    mith: MITHConfig = field(default_factory=MITHConfig)
+    dnph: DNPHConfig = field(default_factory=DNPHConfig)
+    twdh: TwDHConfig = field(default_factory=TwDHConfig)
+    dhaph: DHaPHConfig = field(default_factory=DHaPHConfig)
+    dmsh_ln: DMsHLNConfig = field(default_factory=DMsHLNConfig)
+    dnph_tmm: DNpHTMMConfig = field(default_factory=DNpHTMMConfig)
+    dpbe: DPBEConfig = field(default_factory=DPBEConfig)
+    ddwsh: DDWSHConfig = field(default_factory=DDWSHConfig)
+    ddbh: DDBHConfig = field(default_factory=DDBHConfig)
+    dscph: DScPHConfig = field(default_factory=DScPHConfig)
+    dpsih: DPSIHConfig = field(default_factory=DPSIHConfig)
+    dghdgh: DGHDGHConfig = field(default_factory=DGHDGHConfig)
+
+    def __post_init__(self):
+        if self.nclass == 0 and self.dataset in DATASET_NCLASS:
+            self.nclass = DATASET_NCLASS[self.dataset]
+
+    def method_config(self) -> Any:
+        key = {
+            "DNpH": "dnph_tmm", "DNPH": "dnph", "DMsH_LN": "dmsh_ln",
+        }.get(self.method, self.method.lower())
+        return getattr(self, key)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        base_fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs: Dict[str, Any] = {}
+        for k, v in d.items():
+            if k not in base_fields:
+                raise KeyError(f"unknown config key: {k}")
+            f = base_fields[k]
+            if dataclasses.is_dataclass(f.type) or (
+                isinstance(f.default_factory, type) and dataclasses.is_dataclass(f.default_factory)
+            ):
+                kwargs[k] = f.default_factory(**v) if isinstance(v, dict) else v
+            else:
+                kwargs[k] = v
+        return cls(**kwargs)
