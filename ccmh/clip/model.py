@@ -1,0 +1,406 @@
+"""Functional JAX CLIP (ViT vision tower + causal text transformer).
+
+TPU-first re-design of the reference CLIP runtime
+(reference: model/base/model.py:153-388 — LayerNorm/QuickGELU/
+ResidualAttentionBlock/VisionTransformer/CLIP), not a translation:
+
+* parameters are a plain pytree (nested dicts) so sharding annotations,
+  optimizer masking and checkpoint conversion are trivial;
+* the 12 transformer blocks run under a single ``lax.scan`` over stacked
+  per-layer parameters — one compiled block body instead of 12 unrolled
+  copies (faster compiles, identical math);
+* the patchify "conv" is a reshape + one big matmul that maps straight onto
+  the MXU (a stride-32 conv and this matmul are the same computation);
+* batch-first [B, L, D] layout everywhere (the reference's LND layout is a
+  torch nn.MultiheadAttention artefact);
+* LayerNorm and softmax always compute in float32 regardless of the compute
+  dtype, mirroring the fp16-safe LayerNorm of the reference
+  (model/base/model.py:153-159) for bfloat16 runs.
+
+Token-sequence outputs needed by MITH (model/MITH.py:56-144) and DPSIH
+(model/DPSIH.py:88-101) are first-class: every forward can return projected
+token sequences, pre-projection hidden states and last-layer attention rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipConfig:
+    """Architecture hyperparameters (ViT-B/32 defaults)."""
+
+    embed_dim: int = 512
+    image_resolution: int = 224
+    vision_layers: int = 12
+    vision_width: int = 768
+    vision_patch_size: int = 32
+    context_length: int = 77
+    vocab_size: int = 49408
+    transformer_width: int = 512
+    transformer_heads: int = 8
+    transformer_layers: int = 12
+
+    @property
+    def vision_heads(self) -> int:
+        return self.vision_width // 64
+
+    @property
+    def grid(self) -> int:
+        return self.image_resolution // self.vision_patch_size
+
+    @property
+    def n_patches(self) -> int:
+        return self.grid * self.grid
+
+    @classmethod
+    def tiny(cls) -> "ClipConfig":
+        """Small config for tests: full architecture, toy sizes."""
+        return cls(
+            embed_dim=64, image_resolution=32, vision_layers=2, vision_width=128,
+            vision_patch_size=16, context_length=77, vocab_size=49408,
+            transformer_width=128, transformer_heads=2, transformer_layers=2,
+        )
+
+
+class VisionOutput(NamedTuple):
+    pooled: jax.Array                      # [B, E] standard CLIP embedding
+    tokens_pre: Optional[jax.Array] = None   # [B, 1+P, W] post-transformer hidden
+    tokens_proj: Optional[jax.Array] = None  # [B, 1+P, E] ln_post(all) @ proj
+    cls_attn: Optional[jax.Array] = None     # [B, P] last-layer cls->patch attention
+
+
+class TextOutput(NamedTuple):
+    pooled: jax.Array                      # [B, E] EOT-pooled embedding
+    tokens_pre: Optional[jax.Array] = None   # [B, L, W] post-transformer hidden
+    tokens_proj: Optional[jax.Array] = None  # [B, L, E] ln_final(all) @ projection
+    eos_attn: Optional[jax.Array] = None     # [B, L] last-layer EOS attention row
+    key_padding_mask: Optional[jax.Array] = None  # [B, L] pads *and* EOT masked
+
+
+# ---------------------------------------------------------------------------
+# primitive layers
+# ---------------------------------------------------------------------------
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """fp32-stable LayerNorm; casts back to the input dtype."""
+    orig = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(orig)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def multi_head_attention(
+    x: jax.Array,
+    p: Params,
+    n_head: int,
+    attn_bias: Optional[jax.Array] = None,
+    need_weights: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Self-attention over [B, L, D] with a fused qkv projection.
+
+    ``attn_bias`` is an additive [B, 1, L, L] or [L, L] mask (0 / -inf).
+    Returned weights are the softmax probabilities averaged over heads (the
+    convention of torch MHA that MITH consumes).
+    """
+    B, L, D = x.shape
+    head_dim = D // n_head
+    qkv = x @ p["qkv_w"] + p["qkv_b"]                      # [B, L, 3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(B, L, n_head, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * (1.0 / math.sqrt(head_dim))
+    if attn_bias is not None:
+        logits = logits + attn_bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+    out = out @ p["out_w"] + p["out_b"]
+    if need_weights:
+        return out, jnp.mean(probs, axis=1)                # [B, L, L]
+    return out, None
+
+
+def _block(
+    x: jax.Array,
+    p: Params,
+    n_head: int,
+    attn_bias: Optional[jax.Array],
+    need_weights: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Pre-LN residual attention block (attention + QuickGELU MLP)."""
+    h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"])
+    attn_out, w = multi_head_attention(h, p["attn"], n_head, attn_bias, need_weights)
+    x = x + attn_out
+    h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"])
+    x = x + (quick_gelu(h @ p["mlp"]["fc_w"] + p["mlp"]["fc_b"]) @ p["mlp"]["proj_w"] + p["mlp"]["proj_b"])
+    return x, w
+
+
+def transformer(
+    x: jax.Array,
+    stacked: Params,
+    n_head: int,
+    attn_bias: Optional[jax.Array] = None,
+    need_last_attn: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Run all blocks via lax.scan over the stacked layer parameters."""
+    n_layers = stacked["ln_1"]["scale"].shape[0]
+
+    def body(carry, layer_params):
+        y, _ = _block(carry, layer_params, n_head, attn_bias)
+        return y, None
+
+    if not need_last_attn:
+        x, _ = jax.lax.scan(body, x, stacked)
+        return x, None
+
+    if n_layers > 1:
+        head_layers = jax.tree.map(lambda t: t[:-1], stacked)
+        x, _ = jax.lax.scan(body, x, head_layers)
+    last = jax.tree.map(lambda t: t[-1], stacked)
+    return _block(x, last, n_head, attn_bias, need_weights=True)
+
+
+# ---------------------------------------------------------------------------
+# vision tower
+# ---------------------------------------------------------------------------
+
+def patchify(images: jax.Array, patch: int) -> jax.Array:
+    """[B, H, W, 3] -> [B, (H/p)*(W/p), p*p*3] non-overlapping patches.
+
+    Flattening order is (ph, pw, channel), matching the converted conv
+    kernel layout so conv(x, w) == patchify(x) @ flat(w).
+    """
+    B, H, W, C = images.shape
+    gh, gw = H // patch, W // patch
+    x = images.reshape(B, gh, patch, gw, patch, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)                      # [B, gh, gw, p, p, C]
+    return x.reshape(B, gh * gw, patch * patch * C)
+
+
+def vision_forward(
+    p: Params,
+    cfg: ClipConfig,
+    images: jax.Array,
+    *,
+    dtype: jnp.dtype = jnp.float32,
+    features: str = "pooled",
+) -> VisionOutput:
+    """ViT forward.  ``features``: "pooled" | "tokens" | "mith".
+
+    "pooled": standard CLIP (reference model/base/model.py:228-252).
+    "tokens": pooled + pre-projection token sequence (DPSIH,
+              model/DPSIH.py:88-95 expects width-768 token states).
+    "mith":   ln_post applied to *all* tokens, all projected, plus the
+              last-layer cls->patch attention row (model/MITH.py:57-83).
+    """
+    x = patchify(images.astype(dtype), cfg.vision_patch_size)
+    x = x @ p["patch_w"].astype(dtype)                     # [B, P, W]
+    B = x.shape[0]
+    cls = jnp.broadcast_to(p["class_embedding"].astype(dtype), (B, 1, cfg.vision_width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + p["positional_embedding"].astype(dtype)
+    x = layer_norm(x, p["ln_pre"]["scale"], p["ln_pre"]["bias"])
+
+    need_attn = features == "mith"
+    x, attn = transformer(x, p["blocks"], cfg.vision_heads, None, need_last_attn=need_attn)
+
+    if features == "mith":
+        h = layer_norm(x, p["ln_post"]["scale"], p["ln_post"]["bias"])
+        tokens_proj = h @ p["proj"].astype(dtype)          # [B, 1+P, E]
+        return VisionOutput(
+            pooled=tokens_proj[:, 0, :],
+            tokens_pre=x,
+            tokens_proj=tokens_proj,
+            cls_attn=attn[:, 0, 1:],                       # cls row, patch columns
+        )
+
+    pooled = layer_norm(x[:, 0, :], p["ln_post"]["scale"], p["ln_post"]["bias"])
+    pooled = pooled @ p["proj"].astype(dtype)
+    if features == "tokens":
+        return VisionOutput(pooled=pooled, tokens_pre=x)
+    return VisionOutput(pooled=pooled)
+
+
+# ---------------------------------------------------------------------------
+# text tower
+# ---------------------------------------------------------------------------
+
+def causal_mask(length: int) -> jax.Array:
+    """Additive [L, L] causal bias (0 on/below diagonal, -inf above)."""
+    return jnp.where(
+        jnp.tril(jnp.ones((length, length), dtype=bool)), 0.0, -jnp.inf
+    ).astype(jnp.float32)
+
+
+def text_forward(
+    p: Params,
+    cfg: ClipConfig,
+    ids: jax.Array,
+    *,
+    dtype: jnp.dtype = jnp.float32,
+    features: str = "pooled",
+    key_padding_mask: Optional[jax.Array] = None,
+) -> TextOutput:
+    """Causal text transformer with EOT pooling.
+
+    ``ids``: int32 [B, L] (L <= context_length; positional embedding is
+    sliced to L, reference model/base/model.py:362).  EOT position is
+    ``argmax(ids)`` — the EOT id is the largest in the vocab.
+    ``features``: "pooled" | "tokens" | "mith" (all projected tokens, EOS
+    attention row and the extended key-padding mask, model/MITH.py:120-144).
+    """
+    B, L = ids.shape
+    x = p["token_embedding"].astype(dtype)[ids]            # [B, L, W]
+    x = x + p["positional_embedding"].astype(dtype)[:L]
+
+    bias = causal_mask(L)
+    if key_padding_mask is not None:
+        # torch semantics: True = masked-out key.
+        kp = jnp.where(key_padding_mask, -jnp.inf, 0.0).astype(jnp.float32)
+        bias = bias[None, None, :, :] + kp[:, None, None, :]
+
+    need_attn = features == "mith"
+    x, attn = transformer(x, p["blocks"], cfg.transformer_heads, bias, need_last_attn=need_attn)
+
+    eos_pos = jnp.argmax(ids, axis=-1)                     # [B]
+    h = layer_norm(x, p["ln_final"]["scale"], p["ln_final"]["bias"])
+
+    if features == "mith":
+        tokens_proj = h @ p["text_projection"].astype(dtype)   # [B, L, E]
+        pooled = jnp.take_along_axis(tokens_proj, eos_pos[:, None, None], axis=1)[:, 0, :]
+        # EOS attention row with the EOS column zeroed (model/MITH.py:131-133).
+        eos_attn = jnp.take_along_axis(attn, eos_pos[:, None, None], axis=1)[:, 0, :]
+        eos_attn = eos_attn * (1.0 - jax.nn.one_hot(eos_pos, L, dtype=eos_attn.dtype))
+        kpm = key_padding_mask if key_padding_mask is not None else jnp.zeros((B, L), bool)
+        new_kpm = jnp.logical_or(kpm, ids == cfg.vocab_size - 1)
+        return TextOutput(
+            pooled=pooled, tokens_pre=x, tokens_proj=tokens_proj,
+            eos_attn=eos_attn, key_padding_mask=new_kpm,
+        )
+
+    pooled = jnp.take_along_axis(h, eos_pos[:, None, None], axis=1)[:, 0, :]
+    pooled = pooled @ p["text_projection"].astype(dtype)
+    if features == "tokens":
+        return TextOutput(pooled=pooled, tokens_pre=x)
+    return TextOutput(pooled=pooled)
+
+
+def encode_image(params: Params, cfg: ClipConfig, images: jax.Array, **kw) -> jax.Array:
+    return vision_forward(params["visual"], cfg, images, **kw).pooled
+
+
+def encode_text(params: Params, cfg: ClipConfig, ids: jax.Array, **kw) -> jax.Array:
+    return text_forward(params["text"], cfg, ids, **kw).pooled
+
+
+def clip_forward(
+    params: Params, cfg: ClipConfig, images: jax.Array, ids: jax.Array,
+    *, dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """CLIP contrastive logits (reference model/base/model.py:374-388)."""
+    img = encode_image(params, cfg, images, dtype=dtype)
+    txt = encode_text(params, cfg, ids, dtype=dtype)
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    scale = jnp.exp(params["logit_scale"])
+    logits_per_image = scale * img @ txt.T
+    return logits_per_image, logits_per_image.T
+
+
+# ---------------------------------------------------------------------------
+# initialization (distributional parity with model/base/model.py:311-338)
+# ---------------------------------------------------------------------------
+
+def _init_ln(width: int) -> Params:
+    return {"scale": jnp.ones((width,)), "bias": jnp.zeros((width,))}
+
+
+def _init_block(key, width: int, attn_std: float, proj_std: float, fc_std: float) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "ln_1": _init_ln(width),
+        "attn": {
+            "qkv_w": attn_std * jax.random.normal(k1, (width, 3 * width)),
+            "qkv_b": jnp.zeros((3 * width,)),
+            "out_w": proj_std * jax.random.normal(k2, (width, width)),
+            "out_b": jnp.zeros((width,)),
+        },
+        "ln_2": _init_ln(width),
+        "mlp": {
+            "fc_w": fc_std * jax.random.normal(k3, (width, 4 * width)),
+            "fc_b": jnp.zeros((4 * width,)),
+            "proj_w": proj_std * jax.random.normal(k4, (4 * width, width)),
+            "proj_b": jnp.zeros((width,)),
+        },
+    }
+
+
+def _stack_blocks(blocks) -> Params:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def init_clip_params(key: jax.Array, cfg: ClipConfig = ClipConfig()) -> Params:
+    keys = jax.random.split(key, 8)
+    vw, tw = cfg.vision_width, cfg.transformer_width
+    v_scale = vw ** -0.5
+
+    patch_fan_in = 3 * cfg.vision_patch_size ** 2
+    patch_bound = (1.0 / patch_fan_in) ** 0.5 * math.sqrt(3.0)
+
+    v_proj_std = (vw ** -0.5) * ((2 * cfg.vision_layers) ** -0.5)
+    v_blocks = [
+        _init_block(k, vw, vw ** -0.5, v_proj_std, (2 * vw) ** -0.5)
+        for k in jax.random.split(keys[0], cfg.vision_layers)
+    ]
+    t_proj_std = (tw ** -0.5) * ((2 * cfg.transformer_layers) ** -0.5)
+    t_blocks = [
+        _init_block(k, tw, tw ** -0.5, t_proj_std, (2 * tw) ** -0.5)
+        for k in jax.random.split(keys[1], cfg.transformer_layers)
+    ]
+
+    return {
+        "visual": {
+            "patch_w": jax.random.uniform(
+                keys[2], (patch_fan_in, vw), minval=-patch_bound, maxval=patch_bound
+            ),
+            "class_embedding": v_scale * jax.random.normal(keys[3], (vw,)),
+            "positional_embedding": v_scale
+            * jax.random.normal(keys[4], (cfg.n_patches + 1, vw)),
+            "ln_pre": _init_ln(vw),
+            "blocks": _stack_blocks(v_blocks),
+            "ln_post": _init_ln(vw),
+            "proj": v_scale * jax.random.normal(keys[5], (vw, cfg.embed_dim)),
+        },
+        "text": {
+            "token_embedding": 0.02 * jax.random.normal(keys[6], (cfg.vocab_size, tw)),
+            "positional_embedding": 0.01
+            * jax.random.normal(keys[7], (cfg.context_length, tw)),
+            "blocks": _stack_blocks(t_blocks),
+            "ln_final": _init_ln(tw),
+            "text_projection": (tw ** -0.5)
+            * jax.random.normal(jax.random.fold_in(key, 99), (tw, cfg.embed_dim)),
+        },
+        "logit_scale": jnp.asarray(np.log(1.0 / 0.07), dtype=jnp.float32),
+    }

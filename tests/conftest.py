@@ -11,12 +11,22 @@ import sys
 import types
 import unicodedata
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The image's sitecustomize imports jax at interpreter start (axon TPU
+# plugin), freezing JAX_PLATFORMS before conftest runs — override through
+# the live config instead.  Tests run on 8 virtual CPU devices; matmuls in
+# full fp32 so torch-parity tolerances are meaningful.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_default_matmul_precision", "highest")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_ROOT = "/root/reference"
@@ -32,6 +42,22 @@ if "ftfy" not in sys.modules:
         stub = types.ModuleType("ftfy")
         stub.fix_text = lambda s: unicodedata.normalize("NFC", s)
         sys.modules["ftfy"] = stub
+
+
+# torchvision is absent; reference model/base/clip.py only needs transform
+# symbols at import time, so stub them for the parity oracles.
+if "torchvision" not in sys.modules:
+    try:
+        import torchvision  # noqa: F401
+    except ImportError:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        for _name in ("Compose", "Resize", "CenterCrop", "ToTensor", "Normalize"):
+            setattr(tvt, _name, type(_name, (), {"__init__": lambda self, *a, **k: None}))
+        tvt.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic")
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
 
 
 def load_reference_module(relpath, name=None):
