@@ -1,0 +1,197 @@
+"""Eval-stack tests: packing, Hamming kernels, vectorized mAP parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccmh.ops.packing import pack_codes, unpack_codes, sign_codes, popcount32
+from ccmh.ops.hamming import hamming_distance, hamming_distance_packed_xla
+from ccmh.ops.map_metric import calc_map, calc_map_4way
+from ccmh.ops.similarity import calc_neighbor, cosine_similarity, euclidean_similarity
+from tests.conftest import load_reference_module
+
+torch = pytest.importorskip("torch")
+
+
+def random_codes(n, k, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, 2, size=(n, k)) * 2 - 1).astype(np.int8)
+
+
+def random_labels(n, c, seed=0):
+    rng = np.random.RandomState(seed)
+    lab = (rng.rand(n, c) < 0.15).astype(np.float32)
+    return lab
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+def test_pack_unpack_roundtrip():
+    for k in (16, 32, 64, 48):
+        codes = random_codes(37, k, seed=k)
+        packed = pack_codes(jnp.asarray(codes))
+        assert packed.shape == (37, -(-k // 32))
+        back = unpack_codes(packed, k)
+        np.testing.assert_array_equal(np.asarray(back), codes)
+
+
+def test_sign_codes():
+    x = jnp.asarray([[0.5, -0.2, 0.0, -0.0, 3.0]])
+    np.testing.assert_array_equal(np.asarray(sign_codes(x))[0], [1, -1, 1, 1, 1])
+
+
+def test_popcount():
+    rng = np.random.RandomState(0)
+    vals = rng.randint(0, 2**32, size=(64,), dtype=np.uint64).astype(np.uint32)
+    expected = np.array([bin(v).count("1") for v in vals], dtype=np.int32)
+    np.testing.assert_array_equal(np.asarray(popcount32(jnp.asarray(vals))), expected)
+
+
+# ---------------------------------------------------------------------------
+# hamming
+# ---------------------------------------------------------------------------
+
+def test_hamming_matches_bit_diff():
+    q = random_codes(10, 32, 1)
+    r = random_codes(20, 32, 2)
+    d = np.asarray(hamming_distance(jnp.asarray(q), jnp.asarray(r)))
+    expected = ((q[:, None, :] != r[None, :, :]).sum(-1))
+    np.testing.assert_array_equal(d, expected)
+
+
+def test_packed_hamming_matches_dense():
+    for k in (16, 32, 64):
+        q = random_codes(10, k, 3)
+        r = random_codes(33, k, 4)
+        dense = np.asarray(hamming_distance(jnp.asarray(q), jnp.asarray(r)))
+        packed = np.asarray(
+            hamming_distance_packed_xla(pack_codes(jnp.asarray(q)), pack_codes(jnp.asarray(r)))
+        )
+        np.testing.assert_array_equal(packed, dense)
+
+
+# ---------------------------------------------------------------------------
+# similarity utils vs reference
+# ---------------------------------------------------------------------------
+
+def test_calc_neighbor_parity():
+    ref = load_reference_module("utils/calc_utils.py")
+    a = random_labels(12, 5, 1)
+    b = random_labels(9, 5, 2)
+    expected = ref.calc_neighbor(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    np.testing.assert_array_equal(np.asarray(calc_neighbor(jnp.asarray(a), jnp.asarray(b))), expected)
+
+
+def test_cosine_euclidean_parity():
+    ref = load_reference_module("utils/utils.py")
+    rng = np.random.RandomState(0)
+    a = rng.randn(8, 16).astype(np.float32)
+    b = rng.randn(6, 16).astype(np.float32)
+    cos_ref = ref.cosine_similarity(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    np.testing.assert_allclose(np.asarray(cosine_similarity(jnp.asarray(a), jnp.asarray(b))), cos_ref, atol=1e-5)
+    euc_ref = ref.euclidean_similarity(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    np.testing.assert_allclose(np.asarray(euclidean_similarity(jnp.asarray(a), jnp.asarray(b))), euc_ref, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# mAP
+# ---------------------------------------------------------------------------
+
+def stable_map_oracle(qB, rB, qL, rL, k=None):
+    """Independent numpy implementation of the documented metric semantics:
+    Hamming ranking with stable index-order tie-breaking, mAP@min(k, tsum),
+    zero-relevance queries counted in the denominator."""
+    num_q, n = qB.shape[0], rB.shape[0]
+    if k is None:
+        k = n
+    total_ap = 0.0
+    for i in range(num_q):
+        gnd = (qL[i] @ rL.T > 0).astype(np.int64)
+        tsum = gnd.sum()
+        if tsum == 0:
+            continue
+        hamm = (qB.shape[1] - qB[i] @ rB.T) // 2
+        order = np.argsort(hamm, kind="stable")
+        gnd_sorted = gnd[order]
+        total = min(k, int(tsum))
+        ranks = np.nonzero(gnd_sorted)[0][:total] + 1
+        total_ap += np.mean(np.arange(1, total + 1) / ranks)
+    return total_ap / num_q
+
+
+def test_map_matches_stable_oracle():
+    qB = random_codes(30, 16, 5).astype(np.float32)
+    rB = random_codes(100, 16, 6).astype(np.float32)
+    qL = random_labels(30, 8, 7)
+    rL = random_labels(100, 8, 8)
+    for k in (None, 10, 50):
+        expected = stable_map_oracle(qB, rB, qL, rL, k)
+        got = float(calc_map(jnp.asarray(qB), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL), k, chunk=7))
+        assert abs(got - expected) < 1e-6, (k, got, expected)
+
+
+def test_map_close_to_reference_with_ties():
+    """Reference torch loop uses an unstable sort; values agree within tie
+    permutation noise on random data."""
+    ref = load_reference_module("utils/calc_utils.py")
+    qB = random_codes(50, 32, 9).astype(np.float32)
+    rB = random_codes(300, 32, 10).astype(np.float32)
+    qL = random_labels(50, 10, 11)
+    rL = random_labels(300, 10, 12)
+    expected = float(ref.calc_map_k_matrix(
+        torch.from_numpy(qB), torch.from_numpy(rB),
+        torch.from_numpy(qL), torch.from_numpy(rL)))
+    got = float(calc_map(jnp.asarray(qB), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL)))
+    assert abs(got - expected) < 0.02, (got, expected)
+
+
+def test_map_exact_vs_reference_tie_free():
+    """With a single query and distinct distances the reference sort order is
+    unique -> exact equality is required."""
+    ref = load_reference_module("utils/calc_utils.py")
+    k = 16
+    rng = np.random.RandomState(3)
+    base = (rng.randint(0, 2, size=(1, k)) * 2 - 1).astype(np.float32)
+    # retrieval items at distinct Hamming distances 0..8 from the query
+    rB = np.repeat(base, 9, axis=0)
+    for i in range(9):
+        rB[i, :i] *= -1
+    perm = rng.permutation(9)
+    rB = rB[perm]
+    qL = np.ones((1, 1), np.float32)
+    rL = rng.randint(0, 2, size=(9, 1)).astype(np.float32)
+    rL[0] = 1  # ensure nonzero relevance
+    expected = float(ref.calc_map_k_matrix(
+        torch.from_numpy(base), torch.from_numpy(rB),
+        torch.from_numpy(qL), torch.from_numpy(rL)))
+    got = float(calc_map(jnp.asarray(base), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL)))
+    assert abs(got - expected) < 1e-6
+
+
+def test_map_zero_relevance_queries_count_in_denominator():
+    qB = random_codes(4, 16, 1).astype(np.float32)
+    rB = random_codes(10, 16, 2).astype(np.float32)
+    qL = np.zeros((4, 3), np.float32)
+    qL[0, 0] = 1  # only one query has any relevant item
+    rL = np.zeros((10, 3), np.float32)
+    rL[:, 0] = 1
+    got = float(calc_map(jnp.asarray(qB), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL)))
+    # query 0 has all-relevant gallery => AP 1; the rest contribute 0
+    assert abs(got - 0.25) < 1e-6
+
+
+def test_map_4way_shapes():
+    qi = jnp.asarray(random_codes(10, 16, 1).astype(np.float32))
+    qt = jnp.asarray(random_codes(10, 16, 2).astype(np.float32))
+    ri = jnp.asarray(random_codes(40, 16, 3).astype(np.float32))
+    rt = jnp.asarray(random_codes(40, 16, 4).astype(np.float32))
+    ql = jnp.asarray(random_labels(10, 6, 5))
+    rl = jnp.asarray(random_labels(40, 6, 6))
+    out = calc_map_4way(qi, qt, ri, rt, ql, rl)
+    assert len(out) == 4
+    for v in out:
+        assert 0.0 <= float(v) <= 1.0
