@@ -1,0 +1,140 @@
+"""BertAdam-equivalent optimizer as an optax transformation.
+
+Exact step-level reproduction of the reference optimizer
+(model/base/optimization.py:26-168), which differs from stock Adam/AdamW in
+ways that measurably shift final mAP (SURVEY §7 "hard parts"):
+
+* **no bias correction** on either moment;
+* **per-parameter-tensor gradient clipping** (each tensor clipped to
+  max_grad_norm independently — *not* global-norm clipping);
+* decoupled weight decay added to the *update* (update += wd * p) before
+  the lr scaling;
+* schedule multiplier evaluated at progress = step / t_total with
+  ``warmup_cosine | warmup_constant | warmup_linear`` — the first step runs
+  at progress 0 => lr 0 for warmup schedules, matching the reference's
+  post-increment step counter;
+* per-parameter-group learning rates (CLIP backbone at clip_lr, hashing
+  heads at lr) — expressed here as a pytree of per-leaf lr multipliers.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Schedule = Callable[[jax.Array], jax.Array]
+
+
+def warmup_cosine(progress: jax.Array, warmup: float) -> jax.Array:
+    return jnp.where(
+        progress < warmup,
+        progress / warmup,
+        0.5 * (1.0 + jnp.cos(math.pi * progress)),
+    )
+
+
+def warmup_constant(progress: jax.Array, warmup: float) -> jax.Array:
+    return jnp.where(progress < warmup, progress / warmup, 1.0)
+
+
+def warmup_linear(progress: jax.Array, warmup: float) -> jax.Array:
+    return jnp.where(
+        progress < warmup,
+        progress / warmup,
+        jnp.maximum((progress - 1.0) / (warmup - 1.0), 0.0),
+    )
+
+
+SCHEDULES = {
+    "warmup_cosine": warmup_cosine,
+    "warmup_constant": warmup_constant,
+    "warmup_linear": warmup_linear,
+}
+
+
+class BertAdamState(NamedTuple):
+    step: jax.Array
+    m: Any
+    v: Any
+
+
+def bert_adam(
+    lr: Union[float, Any],
+    *,
+    warmup: float = -1.0,
+    t_total: int = -1,
+    schedule: str = "warmup_cosine",
+    b1: float = 0.9,
+    b2: float = 0.98,
+    eps: float = 1e-6,
+    weight_decay: float = 0.0,
+    max_grad_norm: float = 1.0,
+) -> optax.GradientTransformation:
+    """Build the transform.
+
+    ``lr`` is either a scalar (single group) or a pytree matching the params
+    (per-leaf base learning rate — the param-group mechanism).  Typical use:
+    clip-backbone leaves at 1e-5, head leaves at 1e-3, mirroring
+    train/DSPH/hash_train.py:35-41.
+    """
+    if schedule not in SCHEDULES:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    sched_fn = SCHEDULES[schedule]
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return BertAdamState(step=jnp.zeros((), jnp.int32), m=zeros, v=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("bert_adam requires params")
+
+        if max_grad_norm > 0:
+            def clip_leaf(g):
+                norm = jnp.linalg.norm(g.ravel())
+                scale = jnp.minimum(1.0, max_grad_norm / (norm + 1e-6))
+                return g * scale
+            grads = jax.tree.map(clip_leaf, grads)
+
+        m = jax.tree.map(lambda mu, g: b1 * mu + (1 - b1) * g, state.m, grads)
+        v = jax.tree.map(lambda nu, g: b2 * nu + (1 - b2) * g * g, state.v, grads)
+
+        if t_total > 0:
+            progress = state.step.astype(jnp.float32) / t_total
+            lr_scale = sched_fn(progress, warmup)
+        else:
+            lr_scale = jnp.ones((), jnp.float32)
+
+        if isinstance(lr, (int, float)):
+            lr_tree = jax.tree.map(lambda _: lr, params)
+        else:
+            lr_tree = lr  # pytree of per-leaf base learning rates
+
+        def leaf_update(mu, nu, p, base_lr):
+            upd = mu / (jnp.sqrt(nu) + eps)
+            if weight_decay > 0:
+                upd = upd + weight_decay * p
+            return -(base_lr * lr_scale) * upd
+
+        updates = jax.tree.map(leaf_update, m, v, params, lr_tree)
+        return updates, BertAdamState(step=state.step + 1, m=m, v=v)
+
+    return optax.GradientTransformation(init, update)
+
+
+def lr_tree_for(params: Any, default_lr: float, overrides: dict) -> Any:
+    """Per-leaf lr pytree: top-level keys in ``overrides`` get their own lr.
+
+    ``params`` is the usual ccmh param dict, e.g.
+    ``{"clip": ..., "img_head": ..., "txt_head": ...}``;
+    ``lr_tree_for(params, 1e-3, {"clip": 1e-5})`` reproduces the reference
+    param groups.
+    """
+    return {
+        key: jax.tree.map(lambda _: overrides.get(key, default_lr), sub)
+        for key, sub in params.items()
+    }
