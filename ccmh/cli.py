@@ -1,0 +1,99 @@
+"""Command-line entry point.
+
+Same user surface as the reference (main.py:36-46 plus argsbase.py:4-37):
+
+    python -m ccmh.cli --method DCHMT --dataset flickr --output-dim 16 \
+        --clip-path ViT-B-32.pt --data-dir /data/flickr
+
+All base flags keep their reference names and defaults; method
+hyperparameters are exposed as --<section>.<field> overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+from ccmh.config import Config
+from ccmh.train.methods import available_methods
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    defaults = Config()
+    parser.add_argument("--method", type=str, default="DCHMT",
+                        help=f"one of {available_methods()}")
+    parser.add_argument("--dataset", type=str, default="flickr")
+    parser.add_argument("--output-dim", type=int, default=16)
+    parser.add_argument("--is-train", action="store_true", default=True)
+    parser.add_argument("--test", dest="is_train", action="store_false")
+
+    parser.add_argument("--save-dir", type=str, default=defaults.save_dir)
+    parser.add_argument("--clip-path", type=str, default=defaults.clip_path)
+    parser.add_argument("--pretrained", type=str, default=defaults.pretrained)
+    parser.add_argument("--data-dir", type=str, default=defaults.data_dir)
+
+    parser.add_argument("--epochs", type=int, default=defaults.epochs)
+    parser.add_argument("--batch-size", type=int, default=defaults.batch_size)
+    parser.add_argument("--query-num", type=int, default=defaults.query_num)
+    parser.add_argument("--train-num", type=int, default=defaults.train_num)
+    parser.add_argument("--seed", type=int, default=defaults.seed)
+    parser.add_argument("--max-words", type=int, default=defaults.max_words)
+    parser.add_argument("--resolution", type=int, default=defaults.resolution)
+    parser.add_argument("--display-step", type=int, default=defaults.display_step)
+
+    parser.add_argument("--lr", type=float, default=defaults.lr)
+    parser.add_argument("--clip-lr", type=float, default=defaults.clip_lr)
+    parser.add_argument("--weight-decay", type=float, default=defaults.weight_decay)
+    parser.add_argument("--warmup-proportion", type=float, default=defaults.warmup_proportion)
+
+    parser.add_argument("--eval-batch", type=int, default=defaults.eval_batch)
+    parser.add_argument("--compute-dtype", type=str, default=defaults.compute_dtype)
+    parser.add_argument("--checkpoint-every", type=int, default=defaults.checkpoint_every)
+    parser.add_argument("--mesh", type=str, default="1",
+                        help="data-parallel mesh shape, e.g. '8'")
+    parser.add_argument("--set", action="append", default=[],
+                        metavar="SECTION.FIELD=VALUE",
+                        help="method hyperparameter override, e.g. --set dchmt.vartheta=0.3")
+    return parser
+
+
+def config_from_args(argv=None) -> Config:
+    args = build_parser().parse_args(argv)
+    cfg = Config(
+        method=args.method, dataset=args.dataset, output_dim=args.output_dim,
+        is_train=args.is_train,
+        save_dir=os.path.join(args.save_dir, args.method, args.dataset, str(args.output_dim)),
+        clip_path=args.clip_path, pretrained=args.pretrained, data_dir=args.data_dir,
+        epochs=args.epochs, batch_size=args.batch_size, query_num=args.query_num,
+        train_num=args.train_num, seed=args.seed, max_words=args.max_words,
+        resolution=args.resolution, display_step=args.display_step,
+        lr=args.lr, clip_lr=args.clip_lr, weight_decay=args.weight_decay,
+        warmup_proportion=args.warmup_proportion, eval_batch=args.eval_batch,
+        compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
+        mesh_shape=tuple(int(x) for x in args.mesh.split(",")),
+    )
+    for override in args.set:
+        key, _, raw = override.partition("=")
+        section, _, field = key.partition(".")
+        sub = getattr(cfg, section)
+        current = getattr(sub, field)
+        typ = type(current) if current is not None else str
+        value = raw == "True" if typ is bool else typ(raw)
+        setattr(sub, field, value)
+    return cfg
+
+
+def main(argv=None):
+    from ccmh.train.trainer import Trainer
+
+    cfg = config_from_args(argv)
+    trainer = Trainer(cfg)
+    trainer.run()
+    return trainer
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

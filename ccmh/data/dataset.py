@@ -1,0 +1,188 @@
+"""Host-side dataset + fixed-shape batching for the TPU input pipeline.
+
+Per-item semantics match the reference BaseDataset (dataset/base.py:35-100):
+
+* train transform: bicubic resize (short side) + center crop; eval
+  transform: bicubic resize to (R, R);
+* CLIP pixel normalization (same constants, dataset/base.py:39);
+* caption: uniform random choice among the item's captions, BPE tokenize,
+  SOT + tokens + EOT, zero-pad to max_words;
+* item -> (image NHWC float32, caption ids int32, label float32, index).
+
+TPU-side differences: batches are produced as stacked numpy arrays by a
+thread pool (replacing torch DataLoader worker processes,
+train/base.py:87-107), with an async prefetch depth of 2 so host decode
+overlaps device compute.  Images are NHWC (the patchify matmul's native
+layout) instead of NCHW.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from queue import Queue
+from typing import Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+from ccmh.data.split import RawData
+from ccmh.tokenizer.bpe import default_tokenizer
+
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def _to_pil(source):
+    from PIL import Image
+
+    if isinstance(source, np.ndarray) and source.ndim >= 2:
+        return Image.fromarray(source).convert("RGB")
+    path = source
+    if isinstance(path, np.ndarray):
+        path = str(path.item() if path.size == 1 else path[0])
+    return Image.open(str(path).strip()).convert("RGB")
+
+
+def _transform(img, resolution: int, is_train: bool) -> np.ndarray:
+    from PIL import Image
+
+    if is_train:
+        w, h = img.size
+        short = min(w, h)
+        scale = resolution / short
+        img = img.resize((round(w * scale), round(h * scale)), Image.BICUBIC)
+        w, h = img.size
+        left = (w - resolution) // 2
+        top = (h - resolution) // 2
+        img = img.crop((left, top, left + resolution, top + resolution))
+    else:
+        img = img.resize((resolution, resolution), Image.BICUBIC)
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - CLIP_MEAN) / CLIP_STD
+
+
+class CrossModalDataset:
+    """Indexable dataset over one split."""
+
+    def __init__(
+        self,
+        raw: RawData,
+        *,
+        is_train: bool = True,
+        max_words: int = 32,
+        resolution: int = 224,
+        seed: int = 0,
+        with_mask: bool = False,
+    ):
+        self.raw = raw
+        self.is_train = is_train
+        self.max_words = max_words
+        self.resolution = resolution
+        self.with_mask = with_mask
+        self.tokenizer = default_tokenizer()
+        self._rng = random.Random(seed)
+        self._lock = threading.Lock()
+
+    def __len__(self) -> int:
+        return len(self.raw.indexes)
+
+    def all_labels(self) -> np.ndarray:
+        return np.stack([np.asarray(l, np.float32).ravel() for l in self.raw.labels])
+
+    def _caption(self, i: int) -> str:
+        caps = self.raw.captions[i]
+        if isinstance(caps, str):
+            return caps
+        caps = [c for c in np.ravel(np.asarray(caps, dtype=object))]
+        with self._lock:
+            choice = self._rng.randint(0, len(caps) - 1) if len(caps) > 1 else 0
+        cap = caps[choice]
+        if isinstance(cap, np.ndarray):
+            cap = cap.item() if cap.size == 1 else str(cap)
+        return str(cap)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        image = _transform(_to_pil(self.raw.indexes[i]), self.resolution, self.is_train)
+        ids = np.asarray(
+            self.tokenizer.encode_padded(self._caption(i), self.max_words), np.int32
+        )
+        label = np.asarray(self.raw.labels[i], np.float32).ravel()
+        item = {"image": image.astype(np.float32), "text": ids, "label": label,
+                "index": np.int32(i)}
+        if self.with_mask:
+            item["key_padding_mask"] = ids == 0
+        return item
+
+
+class BatchIterator:
+    """Threaded, prefetching batch producer with fixed-shape full batches.
+
+    Yields dicts of stacked numpy arrays.  The final partial batch is padded
+    by *wrapping* (repeating leading items) with a ``valid`` mask so every
+    batch has an identical shape — one XLA compilation per (method, batch
+    size).  Training losses may ignore ``valid`` (the reference also trains
+    on ragged final batches, so wrapped duplicates are an equally valid
+    sampling); eval code extraction must honour it when scattering codes.
+    """
+
+    def __init__(
+        self,
+        dataset: CrossModalDataset,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._epoch_rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _assemble(self, idx_batch: np.ndarray, n_valid: int, pool) -> Dict[str, np.ndarray]:
+        items = list(pool.map(self.dataset.__getitem__, idx_batch))
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        valid = np.zeros(len(idx_batch), bool)
+        valid[:n_valid] = True
+        batch["valid"] = valid
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = self._epoch_rng.permutation(n) if self.shuffle else np.arange(n)
+        starts = list(range(0, n, self.batch_size))
+        if self.drop_last and n % self.batch_size:
+            starts = starts[:-1]
+
+        queue: Queue = Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer(pool):
+            for s in starts:
+                chunk = order[s : s + self.batch_size]
+                n_valid = len(chunk)
+                if n_valid < self.batch_size:  # wrap-pad to a full batch
+                    pad = order[: self.batch_size - n_valid]
+                    chunk = np.concatenate([chunk, pad])
+                queue.put(self._assemble(chunk, n_valid, pool))
+            queue.put(sentinel)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            thread = threading.Thread(target=producer, args=(pool,), daemon=True)
+            thread.start()
+            while True:
+                batch = queue.get()
+                if batch is sentinel:
+                    break
+                yield batch
+            thread.join()

@@ -1,0 +1,272 @@
+"""Trainer orchestration: epoch loop, on-device validation, checkpoints.
+
+Functional replacement for the reference TrainBase (train/base.py:15-349)
+plus each method's train_epoch.  Differences by design:
+
+* the whole train step (CLIP fwd x2 + heads + loss + backward + both
+  optimizer updates) is ONE jitted XLA program (vs per-op torch dispatch);
+* validation mAP runs entirely on device (ops/map_metric.py) instead of the
+  reference's CPU python-loop (utils/calc_utils.py:16-39);
+* codes are extracted with a jitted encode step and scattered into host
+  buffers by dataset index (parity with train/base.py:130-148);
+* checkpointing saves params+opt state+step (.npz tree) every
+  ``checkpoint_every`` epochs and supports resume — the reference only
+  dumps model weights with no optimizer state (train/base.py:225-227).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.io as scio
+
+from ccmh.clip.convert import load_clip_params, save_params_npz, _flatten, _unflatten
+from ccmh.clip.model import ClipConfig, init_clip_params
+from ccmh.config import Config
+from ccmh.data.dataset import BatchIterator, CrossModalDataset
+from ccmh.data.split import SplitData, make_splits
+from ccmh.ops.map_metric import calc_map_4way
+from ccmh.train.methods import get_method
+from ccmh.train.state import TrainState, init_state, make_main_optimizer, make_train_step
+from ccmh.utils import MetricsWriter, get_logger
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Config,
+        *,
+        splits: Optional[SplitData] = None,
+        clip_cfg: Optional[ClipConfig] = None,
+        clip_params=None,
+    ):
+        self.cfg = cfg
+        os.makedirs(cfg.save_dir, exist_ok=True)
+        self.logger = get_logger(
+            os.path.join(cfg.save_dir, "train.log" if cfg.is_train else "test.log"))
+        self.metrics = MetricsWriter(os.path.join(cfg.save_dir, "metrics.jsonl"))
+        self.method = get_method(cfg.method)
+
+        self._init_data(splits)
+        self._init_model(clip_cfg, clip_params)
+
+        self.global_step = 0
+        self.max_mapi2t = 0.0
+        self.max_mapt2i = 0.0
+        self.best_epoch_i = 0
+        self.best_epoch_t = 0
+        self.total_time = 0.0
+
+    # ------------------------------------------------------------------ data
+    def _init_data(self, splits: Optional[SplitData]):
+        cfg = self.cfg
+        if splits is None:
+            if not cfg.data_dir:
+                raise ValueError("provide data_dir or explicit splits")
+            caption = os.path.join(
+                cfg.data_dir,
+                "caption.txt" if "nuswide" in cfg.dataset else "caption.mat")
+            index = os.path.join(cfg.data_dir, "index.mat")
+            npy = False
+            if not os.path.exists(index):
+                index = os.path.join(cfg.data_dir, "index.npy")
+                npy = True
+            label = os.path.join(cfg.data_dir, "label.mat")
+            splits = make_splits(caption, index, label, cfg.query_num,
+                                 cfg.train_num, cfg.seed, npy=npy)
+        self.splits = splits
+        kw = dict(max_words=cfg.max_words, resolution=cfg.resolution,
+                  with_mask=self.method.needs_mask)
+        self.train_data = CrossModalDataset(splits.train, is_train=True, seed=cfg.seed, **kw)
+        self.query_data = CrossModalDataset(splits.query, is_train=False, seed=cfg.seed, **kw)
+        self.retrieval_data = CrossModalDataset(splits.retrieval, is_train=False, seed=cfg.seed, **kw)
+        self.query_labels = self.query_data.all_labels()
+        self.retrieval_labels = self.retrieval_data.all_labels()
+        self.cfg.retrieval_num = len(self.retrieval_labels)
+        if self.cfg.nclass == 0:
+            self.cfg.nclass = self.query_labels.shape[1]
+
+        self.train_loader = BatchIterator(
+            self.train_data, cfg.batch_size, shuffle=True, seed=cfg.seed)
+        self.query_loader = BatchIterator(
+            self.query_data, cfg.eval_batch, shuffle=False, seed=cfg.seed)
+        self.retrieval_loader = BatchIterator(
+            self.retrieval_data, cfg.eval_batch, shuffle=False, seed=cfg.seed)
+
+    # ----------------------------------------------------------------- model
+    def _init_model(self, clip_cfg: Optional[ClipConfig], clip_params):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        if clip_params is None:
+            if cfg.clip_path:
+                clip_params, clip_cfg = load_clip_params(cfg.clip_path)
+            else:
+                clip_cfg = clip_cfg or ClipConfig()
+                self.logger.warning("no clip_path set — random CLIP init")
+                clip_params = init_clip_params(rng, clip_cfg)
+        self.clip_cfg = clip_cfg
+
+        k_head, k_state = jax.random.split(jax.random.fold_in(rng, 1))
+        heads, extra, aux = self.method.init(k_head, cfg, clip_cfg)
+        params = {"clip": clip_params, **heads}
+
+        steps_per_epoch = len(self.train_loader)
+        self.tx = make_main_optimizer(cfg, params, steps_per_epoch)
+        self.extra_tx = self.method.extra_tx(cfg) if self.method.extra_tx else None
+        self.state = init_state(k_state, params, extra, aux, self.tx, self.extra_tx)
+
+        if cfg.pretrained and os.path.exists(cfg.pretrained):
+            self.load_checkpoint(cfg.pretrained)
+
+        loss_fn = self.method.make_loss_fn(cfg, clip_cfg)
+        self.train_step = make_train_step(loss_fn, self.tx, self.extra_tx, cfg, clip_cfg)
+        self.encode_step = self.method.make_encode_fn(cfg, clip_cfg)
+
+    # ------------------------------------------------------------------ train
+    def run(self):
+        if self.cfg.is_train:
+            self.train()
+        else:
+            self.test()
+
+    def train(self):
+        self.logger.info("Start train.")
+        for epoch in range(self.cfg.epochs):
+            self.train_epoch(epoch)
+            if self.cfg.valid:
+                self.valid(epoch)
+            if self.cfg.save_model:
+                self.save_checkpoint(os.path.join(self.cfg.save_dir, f"model-{epoch}.npz"))
+            if self.cfg.checkpoint_every and (epoch + 1) % self.cfg.checkpoint_every == 0:
+                self.save_checkpoint(os.path.join(self.cfg.save_dir, "checkpoint.npz"))
+        self.logger.info(
+            f">>>>>>> FINISHED >>>>>> Best epoch, I-T: {self.best_epoch_i}, "
+            f"mAP: {self.max_mapi2t}, T-I: {self.best_epoch_t}, mAP: {self.max_mapt2i}")
+
+    def train_epoch(self, epoch: int):
+        cfg = self.cfg
+        self.logger.info(f">>>>>> epochs: {epoch}/{cfg.epochs}")
+        losses = []
+        start = time.time()
+        for batch in self.train_loader:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.state, metrics = self.train_step(self.state, batch)
+            self.global_step += 1
+            losses.append(metrics["loss"])
+            if self.global_step % cfg.display_step == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                self.logger.info(f">>>>>> Display >>>>>> [{epoch}/{cfg.epochs}] {m}")
+                self.metrics.write("train", self.global_step, **m)
+        self.total_time += time.time() - start
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        self.logger.info(
+            f">>>>>> [{epoch}/{cfg.epochs}] loss: {mean_loss}, time: {self.total_time}")
+
+    # ------------------------------------------------------------------- eval
+    def get_code(self, loader: BatchIterator, length: int) -> Tuple[np.ndarray, np.ndarray, float]:
+        """Extract ±1 codes for a split, scattered by dataset index
+        (parity: train/base.py:130-148; encoder_time accumulates — the
+        reference's `=` overwrite at base.py:144 is a recorded bug)."""
+        k = self.cfg.output_dim
+        img_buf = np.zeros((length, k), np.int8)
+        txt_buf = np.zeros((length, k), np.int8)
+        encoder_time = 0.0
+        for batch in loader:
+            start = time.time()
+            jbatch = {key: jnp.asarray(v) for key, v in batch.items()
+                      if key not in ("valid",)}
+            img_codes, txt_codes = self.encode_step(self.state.params, self.state.aux, jbatch)
+            img_codes, txt_codes = np.asarray(img_codes), np.asarray(txt_codes)
+            encoder_time += time.time() - start
+            valid = batch["valid"]
+            idx = batch["index"][valid]
+            img_buf[idx] = img_codes[valid]
+            txt_buf[idx] = txt_codes[valid]
+        return img_buf, txt_buf, encoder_time
+
+    def valid(self, epoch: int):
+        self.logger.info("Valid.")
+        q_img, q_txt, q_time = self.get_code(self.query_loader, len(self.query_data))
+        r_img, r_txt, r_time = self.get_code(self.retrieval_loader, len(self.retrieval_data))
+
+        i2t, t2i, i2i, t2t = calc_map_4way(
+            q_img, q_txt, r_img, r_txt, self.query_labels, self.retrieval_labels)
+        i2t, t2i, i2i, t2t = map(float, (i2t, t2i, i2i, t2t))
+
+        if self.max_mapi2t < i2t:
+            self.best_epoch_i = epoch
+            if self.cfg.save_mat:
+                self.save_mat(q_img, q_txt, r_img, r_txt, mode_name="i2t")
+        self.max_mapi2t = max(self.max_mapi2t, i2t)
+        if self.max_mapt2i < t2i:
+            self.best_epoch_t = epoch
+            if self.cfg.save_mat:
+                self.save_mat(q_img, q_txt, r_img, r_txt, mode_name="t2i")
+        self.max_mapt2i = max(self.max_mapt2i, t2i)
+
+        self.logger.info(
+            f">>>>>> [{epoch}/{self.cfg.epochs}], MAP(i->t): {i2t}, MAP(t->i): {t2i}, "
+            f"MAP(t->t): {t2t}, MAP(i->i): {i2i}, MAX MAP(i->t): {self.max_mapi2t}, "
+            f"MAX MAP(t->i): {self.max_mapt2i}, query_encoder_time: {q_time}, "
+            f"retrieval_encoder_time: {r_time}")
+        self.metrics.write("valid", self.global_step, epoch=epoch, i2t=i2t,
+                           t2i=t2i, i2i=i2i, t2t=t2t,
+                           q_encoder_time=q_time, r_encoder_time=r_time)
+        return i2t, t2i, i2i, t2t
+
+    def test(self, mode_name: str = "i2t"):
+        if not self.cfg.pretrained:
+            raise RuntimeError("test requires --pretrained (train/base.py:278)")
+        q_img, q_txt, _ = self.get_code(self.query_loader, len(self.query_data))
+        r_img, r_txt, _ = self.get_code(self.retrieval_loader, len(self.retrieval_data))
+        i2t, t2i, i2i, t2t = map(float, calc_map_4way(
+            q_img, q_txt, r_img, r_txt, self.query_labels, self.retrieval_labels))
+        self.logger.info(
+            f">>>>>> MAP(i->t): {i2t}, MAP(t->i): {t2i}, MAP(t->t): {t2t}, MAP(i->i): {i2i}")
+        self.save_mat(q_img, q_txt, r_img, r_txt, mode_name=mode_name)
+        return i2t, t2i, i2i, t2t
+
+    def save_mat(self, q_img, q_txt, r_img, r_txt, mode_name="i2t"):
+        """.mat export interoperable with reference tooling (train/base.py:328-349)."""
+        save_dir = os.path.join(self.cfg.save_dir, "PR_cruve")
+        os.makedirs(save_dir, exist_ok=True)
+        scio.savemat(
+            os.path.join(save_dir,
+                         f"{self.cfg.output_dim}-ours-{self.cfg.dataset}-{mode_name}.mat"),
+            {
+                "q_img": np.asarray(q_img, np.float64),
+                "q_txt": np.asarray(q_txt, np.float64),
+                "r_img": np.asarray(r_img, np.float64),
+                "r_txt": np.asarray(r_txt, np.float64),
+                "q_l": self.query_labels,
+                "r_l": self.retrieval_labels,
+            },
+        )
+        self.logger.info(f">>>>>> save best {mode_name} data!")
+
+    # ------------------------------------------------------------- checkpoint
+    def save_checkpoint(self, path: str):
+        tree = {
+            "params": self.state.params,
+            "extra": self.state.extra if self.state.extra is not None else {},
+            "aux": self.state.aux,
+            "step": self.state.step,
+        }
+        save_params_npz(path, jax.tree.map(np.asarray, tree))
+        self.logger.info(f"save model to {path}")
+
+    def load_checkpoint(self, path: str):
+        with np.load(path, allow_pickle=False) as data:
+            tree = _unflatten({k: data[k] for k in data.files})
+        self.state = self.state._replace(
+            params=tree["params"],
+            extra=tree.get("extra") or self.state.extra,
+            aux=tree.get("aux", self.state.aux),
+            step=jnp.asarray(tree.get("step", 0)),
+        )
+        self.logger.info(f"loaded checkpoint {path}")

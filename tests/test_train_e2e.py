@@ -1,0 +1,113 @@
+"""End-to-end slice: tiny CLIP + synthetic data, a few train steps + valid.
+
+Exercises every layer (data -> tokenizer -> CLIP -> head -> loss -> BertAdam
+-> encode -> on-device mAP), mirroring the reference PR1 config (DCHMT on a
+small dataset, SURVEY §7).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ccmh.clip.model import ClipConfig, init_clip_params
+from ccmh.config import Config
+from ccmh.data.split import RawData, SplitData, split_data
+from ccmh.data.synthetic import synthetic_arrays
+from ccmh.train.trainer import Trainer
+
+TINY = ClipConfig.tiny()
+
+
+def tiny_cfg(method: str, tmp_path, **kw) -> Config:
+    return Config(
+        method=method,
+        dataset="synthetic",
+        output_dim=16,
+        save_dir=str(tmp_path / method),
+        epochs=1,
+        batch_size=16,
+        query_num=16,
+        train_num=32,
+        seed=1814,
+        max_words=32,
+        resolution=TINY.image_resolution,
+        eval_batch=16,
+        display_step=1000,
+        nclass=8,
+        **kw,
+    )
+
+
+def make_trainer(method: str, tmp_path, **kw) -> Trainer:
+    raw = synthetic_arrays(n=64, n_class=8, resolution=TINY.image_resolution)
+    cfg = tiny_cfg(method, tmp_path, **kw)
+    splits = split_data(raw, query_num=cfg.query_num, train_num=cfg.train_num, seed=cfg.seed)
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    return Trainer(cfg, splits=splits, clip_cfg=TINY, clip_params=clip_params)
+
+
+def test_split_parity_with_reference():
+    """split_data must reproduce dataset/dataloader.py:6-28 exactly."""
+    raw = synthetic_arrays(n=50, n_class=4, resolution=8)
+    s = split_data(raw, query_num=10, train_num=20, seed=1814)
+    np.random.seed(1814)
+    order = np.random.permutation(range(50))
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(x) for x in s.query.labels]),
+        np.stack([np.asarray(raw.labels[i]) for i in order[:10]]))
+    # train is a subset of retrieval (retrieval = all but query)
+    assert len(s.retrieval.labels) == 40
+    np.testing.assert_array_equal(
+        np.stack(list(s.train.labels)),
+        np.stack(list(s.retrieval.labels[:20])))
+
+
+@pytest.mark.parametrize("method", ["DCHMT", "DSPH"])
+def test_train_and_valid(method, tmp_path):
+    trainer = make_trainer(method, tmp_path)
+    state0_loss = None
+
+    trainer.train_epoch(0)
+    assert trainer.global_step == 2  # 32 items / batch 16
+
+    maps = trainer.valid(0)
+    for v in maps:
+        assert 0.0 <= v <= 1.0
+    # mat export of the best epoch exists
+    import os
+    assert os.path.exists(
+        os.path.join(trainer.cfg.save_dir, "PR_cruve",
+                     f"16-ours-synthetic-i2t.mat"))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    trainer = make_trainer("DCHMT", tmp_path)
+    trainer.train_epoch(0)
+    path = str(tmp_path / "ckpt.npz")
+    trainer.save_checkpoint(path)
+
+    trainer2 = make_trainer("DCHMT", tmp_path)
+    trainer2.load_checkpoint(path)
+    a = jax.tree.leaves(trainer.state.params)
+    b = jax.tree.leaves(trainer2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_loss_decreases(tmp_path):
+    """A few epochs on tiny data should reduce the DCHMT loss."""
+    trainer = make_trainer("DCHMT", tmp_path)
+    import jax.numpy as jnp
+
+    first, last = None, None
+    for epoch in range(4):
+        losses = []
+        for batch in trainer.train_loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            trainer.state, metrics = trainer.train_step(trainer.state, jb)
+            losses.append(float(metrics["loss"]))
+        if first is None:
+            first = np.mean(losses)
+        last = np.mean(losses)
+    assert last < first, (first, last)
