@@ -165,6 +165,10 @@ def transformer(
     need_last_attn: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Run all blocks via lax.scan over the stacked layer parameters."""
+    if stacked["ln_1"]["scale"].dtype != x.dtype:
+        # bf16 compute: cast weights once here; layer_norm still reduces in
+        # fp32 internally (fp16-safe LayerNorm parity).
+        stacked = jax.tree.map(lambda t: t.astype(x.dtype), stacked)
     n_layers = stacked["ln_1"]["scale"].shape[0]
 
     def body(carry, layer_params):

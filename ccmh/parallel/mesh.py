@@ -1,0 +1,74 @@
+"""Device mesh + sharding rules.
+
+The reference is strictly single-GPU (SURVEY §2.6: ``trainer(args, 0)``,
+rank is only a CUDA device id).  Parallelism here is therefore a new
+TPU-native subsystem, not a port:
+
+* 1-D ``("data",)`` mesh — batch axis sharded, parameters replicated.
+  ViT-B/32 (~150M params) fits comfortably per chip, so data parallelism is
+  the right (and only load-bearing) axis; gradients are combined by psum
+  which XLA inserts from the sharding annotations.
+* evaluation shards the *query* axis; packed gallery codes are tiny
+  (1M x 64-bit = 8 MB) and stay replicated, so Hamming ranking needs no
+  collectives at all and scales linearly in chips.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]).reshape(n), (axis,))
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = "data") -> Dict[str, Any]:
+    """Place a host batch with the leading dim sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def data_parallel_train_step(step_fn, mesh: Mesh, axis: str = "data"):
+    """Wrap a jitted train step with explicit in/out shardings.
+
+    State (params, opt state, aux) is replicated; the batch is sharded on
+    its leading axis.  XLA turns the loss mean into a cross-chip psum of
+    gradients — the NCCL-allreduce equivalent, but compiler-inserted and
+    fused with the backward pass.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def sharded_map_eval(mesh: Mesh, calc_map_fn, q_codes, r_codes, q_labels, r_labels,
+                     k=None, axis: str = "data"):
+    """mAP with queries sharded across chips and the gallery replicated.
+
+    Each chip ranks its query shard against the full gallery; the AP sums
+    combine with one scalar psum (inside calc_map's final mean).
+    """
+    data = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    q_codes = jax.device_put(jnp.asarray(q_codes), data)
+    q_labels = jax.device_put(jnp.asarray(q_labels, dtype=jnp.float32), data)
+    r_codes = jax.device_put(jnp.asarray(r_codes), repl)
+    r_labels = jax.device_put(jnp.asarray(r_labels, dtype=jnp.float32), repl)
+    return calc_map_fn(q_codes, r_codes, q_labels, r_labels, k)

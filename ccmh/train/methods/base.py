@@ -50,6 +50,59 @@ class Method:
         return jax.jit(encode_fn)
 
 
+def make_linear_hash_method(
+    name: str,
+    loss_body: Callable[..., Tuple[jax.Array, Dict[str, jax.Array]]],
+    *,
+    init_extra: Optional[Callable[[jax.Array, Config, ClipConfig], Params]] = None,
+    extra_tx: Optional[Callable[[Config], optax.GradientTransformation]] = None,
+    init_aux: Optional[Callable[[Config, ClipConfig], Params]] = None,
+) -> Method:
+    """Factory for the seven plain-LinearHash methods (SURVEY §2.4): only
+    the loss differs; heads, encode (torch.sign parity) and the optimizer
+    wiring are shared.
+
+    ``loss_body(hash_img, hash_txt, label, extra, aux, rng, cfg)``
+    -> (loss, metrics) or (loss, (new_aux, metrics)).
+    """
+    from ccmh.models.heads import init_linear_hash, linear_hash
+    from ccmh.ops.packing import sign_codes
+
+    def _init(rng, cfg: Config, clip_cfg: ClipConfig):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        heads = {
+            "img_head": init_linear_hash(k1, clip_cfg.embed_dim, cfg.output_dim),
+            "txt_head": init_linear_hash(k2, clip_cfg.embed_dim, cfg.output_dim),
+        }
+        extra = init_extra(k3, cfg, clip_cfg) if init_extra else None
+        aux = init_aux(cfg, clip_cfg) if init_aux else {}
+        return heads, extra, aux
+
+    def _hashes(params, batch, clip_cfg, rng=None, train=False):
+        img, txt = clip_embeds(params, clip_cfg, batch)
+        r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
+        hi = linear_hash(params["img_head"], img.pooled, train=train, rng=r1)
+        ht = linear_hash(params["txt_head"], txt.pooled, train=train, rng=r2)
+        return hi, ht
+
+    def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
+        rng, body_rng = jax.random.split(rng)
+        hi, ht = _hashes(params, batch, clip_cfg, rng, train=True)
+        out = loss_body(hi, ht, batch["label"], extra, aux, body_rng, cfg)
+        loss, rest = out
+        if isinstance(rest, tuple):
+            new_aux, metrics = rest
+        else:
+            new_aux, metrics = aux, rest
+        return loss, (new_aux, metrics)
+
+    def _encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig):
+        hi, ht = _hashes(params, batch, clip_cfg)
+        return sign_codes(hi), sign_codes(ht)
+
+    return Method(name=name, init=_init, loss=_loss, encode=_encode, extra_tx=extra_tx)
+
+
 def clip_embeds(
     params: Params, clip_cfg: ClipConfig, batch: Dict[str, jax.Array],
     *, features: str = "pooled", dtype=jnp.float32,

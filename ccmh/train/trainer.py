@@ -155,6 +155,7 @@ class Trainer:
         start = time.time()
         for batch in self.train_loader:
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch["epoch"] = jnp.asarray(epoch, jnp.int32)
             self.state, metrics = self.train_step(self.state, batch)
             self.global_step += 1
             losses.append(metrics["loss"])

@@ -60,9 +60,13 @@ if "torchvision" not in sys.modules:
         sys.modules["torchvision.transforms"] = tvt
 
 
-def load_reference_module(relpath, name=None):
-    """Import a module from the read-only reference tree by file path."""
-    import importlib.util
+def load_reference_module(relpath, name=None, strip_relative=False):
+    """Import a module from the read-only reference tree by file path.
+
+    ``strip_relative=True`` drops ``from .x import y`` lines (e.g. trainer-local
+    get_args imports) so a loss module can load standalone as a test oracle.
+    """
+    import types as _types
 
     path = os.path.join(REFERENCE_ROOT, relpath)
     if not os.path.exists(path):
@@ -70,7 +74,14 @@ def load_reference_module(relpath, name=None):
 
         pytest.skip(f"reference module {relpath} not available")
     name = name or ("ref_" + relpath.replace("/", "_").removesuffix(".py"))
-    spec = importlib.util.spec_from_file_location(name, path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    with open(path) as fh:
+        source = fh.read()
+    if strip_relative:
+        source = "\n".join(
+            line for line in source.split("\n")
+            if not line.strip().startswith("from .")
+        )
+    mod = _types.ModuleType(name)
+    mod.__file__ = path
+    exec(compile(source, path, "exec"), mod.__dict__)
     return mod

@@ -1,0 +1,210 @@
+"""Loss-level golden tests vs the reference implementations on fixed inputs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import load_reference_module
+
+torch = pytest.importorskip("torch")
+
+B, K, C = 24, 16, 8
+rng = np.random.RandomState(0)
+HI = np.tanh(rng.randn(B, K)).astype(np.float32)
+HT = np.tanh(rng.randn(B, K)).astype(np.float32)
+LABEL = (rng.rand(B, C) < 0.3).astype(np.float32)
+LABEL[np.arange(B), rng.randint(0, C, B)] = 1.0
+
+
+def test_qmi_parity():
+    ref = load_reference_module("train/DNpH_TMM/loss.py")
+    # reference hardcodes torch.cuda.FloatTensor; patch the D cast via CPU
+    import types
+
+    src_loss = ref.qmi_loss
+
+    def patched(images, texts, targets, **kw):
+        # re-implement the single cuda-cast line on cpu by monkeypatching
+        torch.cuda.FloatTensor = torch.FloatTensor  # type: ignore[attr-defined]
+        return src_loss(images, texts, targets, **kw)
+
+    expected = float(patched(torch.from_numpy(HI), torch.from_numpy(HT),
+                             torch.from_numpy(LABEL)))
+    from ccmh.losses.dnph_tmm import qmi_loss
+
+    got, _ = qmi_loss(jnp.asarray(HI), jnp.asarray(HT), jnp.asarray(LABEL))
+    assert abs(float(got) - expected) / abs(expected) < 1e-5
+
+
+def test_cpf_parity():
+    ref = load_reference_module("train/DScPH/CPF_loss.py")
+    cpf = ref.CPF(embed_dim=K, n_classes=C, device="cpu")
+    with torch.no_grad():
+        expected = float(cpf(torch.from_numpy(HI), torch.from_numpy(HT),
+                             torch.from_numpy(LABEL)))
+    from ccmh.losses.dscph import cpf_loss
+
+    params = {"weight": jnp.asarray(cpf.weight.detach().numpy())}
+    got = float(cpf_loss(jnp.asarray(HI), jnp.asarray(HT), jnp.asarray(LABEL), params))
+    assert abs(got - expected) < 1e-5, (got, expected)
+
+
+def test_bp_loss_parity():
+    mod = load_reference_module("train/DDBH/loss.py")
+    mod.DAMHLoss = mod.BPLoss  # repair the undefined-name bug to use as oracle
+    bp = mod.BPLoss(bit=K)
+    with torch.no_grad():
+        expected = float(bp(torch.from_numpy(HI), torch.from_numpy(HT),
+                            torch.from_numpy(LABEL)))
+    from ccmh.losses.ddbh import bp_loss
+
+    got = float(bp_loss(jnp.asarray(HI), jnp.asarray(HT), jnp.asarray(LABEL), K))
+    assert abs(got - expected) < 2e-4, (got, expected)
+
+
+def test_ddbh_full_loss_quantization_term():
+    ref_s = (LABEL @ LABEL.T > 0).astype(np.float32)
+    iq = (ref_s @ (HI - np.sign(HI)) ** 2).mean()
+    tq = (ref_s @ (HT - np.sign(HT)) ** 2).mean()
+    from ccmh.losses.ddbh import ddbh_loss
+    from ccmh.config import DDBHConfig
+
+    loss, metrics = ddbh_loss(jnp.asarray(HI), jnp.asarray(HT), jnp.asarray(LABEL),
+                              DDBHConfig(), K)
+    assert abs(float(metrics["quan"]) - (iq + tq)) < 1e-4
+
+
+def test_dnph_proxy_parity():
+    ref = load_reference_module("train/DNPH_TOMM/loss.py", strip_relative=True)
+
+    class Args:
+        nclass = C
+        output_dim = K
+
+    # reference pulls args via get_args import; construct directly instead
+    dnph = ref.DNPH_out.__new__(ref.DNPH_out)
+    torch.nn.Module.__init__(dnph)
+    dnph.args = Args()
+    dnph.proxies = torch.nn.Parameter(torch.randn(C, K) / 8)
+    dnph.cross_entropy = torch.nn.CrossEntropyLoss()
+    dnph.mrg = 1.0
+
+    pred_i = torch.from_numpy(rng.randn(B, C).astype(np.float32))
+    pred_t = torch.from_numpy(rng.randn(B, C).astype(np.float32))
+    with torch.no_grad():
+        expected = float(dnph(torch.from_numpy(HI), torch.from_numpy(HT),
+                              pred_i, pred_t,
+                              torch.from_numpy(LABEL), torch.from_numpy(LABEL)))
+
+    from ccmh.losses.dnph_tomm import dnph_proxy_loss
+
+    got = float(dnph_proxy_loss(
+        jnp.asarray(HI), jnp.asarray(HT),
+        jnp.asarray(pred_i.numpy()), jnp.asarray(pred_t.numpy()),
+        jnp.asarray(LABEL), jnp.asarray(LABEL),
+        jnp.asarray(dnph.proxies.detach().numpy())))
+    assert abs(got - expected) < 2e-4, (got, expected)
+
+
+def test_hungarian_noise_assignment():
+    from ccmh.losses.dnph_tomm import assign_noise
+    from scipy.optimize import linear_sum_assignment
+
+    codes = rng.randn(10, K).astype(np.float32)
+    noise = (rng.randint(0, 2, (10, K)) * 2 - 1).astype(np.float32)
+    got = np.asarray(assign_noise(jnp.asarray(codes), jnp.asarray(noise)))
+    cost = np.linalg.norm(codes[:, None] - noise[None, :], axis=-1)
+    _, col = linear_sum_assignment(cost)
+    np.testing.assert_array_equal(got, noise[col])
+
+
+def test_ms_loss_parity():
+    ref = load_reference_module("train/DMsH_LN/MSLOSS.py")
+    msl = ref.MultiSimilarityLoss()
+    label_codes = np.tanh(rng.randn(B, K)).astype(np.float32)
+    with torch.no_grad():
+        e1 = float(msl(torch.from_numpy(HI), torch.from_numpy(label_codes)))
+        e2 = float(msl(torch.from_numpy(HI), torch.from_numpy(label_codes),
+                       feat2=torch.from_numpy(HT)))
+    from ccmh.losses.dmsh_ln import multi_similarity_loss
+    from ccmh.config import DMsHLNConfig
+
+    mcfg = DMsHLNConfig()
+    g1 = float(multi_similarity_loss(jnp.asarray(HI), jnp.asarray(label_codes), mcfg))
+    g2 = float(multi_similarity_loss(jnp.asarray(HI), jnp.asarray(label_codes), mcfg,
+                                     feat2=jnp.asarray(HT)))
+    assert abs(g1 - e1) < 1e-5, (g1, e1)
+    assert abs(g2 - e2) < 1e-5, (g2, e2)
+
+
+def test_dchmt_loss_parity():
+    """our_loss parity via a reference-trainer shim on fixed select codes."""
+    ref_utils = load_reference_module("utils/utils.py")
+    from ccmh.losses.dchmt import dchmt_loss
+    from ccmh.config import DCHMTConfig
+
+    mcfg = DCHMTConfig()
+    flat_i = rng.rand(B, 2 * K).astype(np.float32)
+    flat_t = rng.rand(B, 2 * K).astype(np.float32)
+
+    # reference math (train/DCHMT/hash_train.py:82-150), euclidean/l2 branch
+    ti, tt = torch.from_numpy(flat_i), torch.from_numpy(flat_t)
+    lab = torch.from_numpy(LABEL)
+    label_sim = (lab @ lab.t() > 0).float()
+
+    def sim_loss(a, b):
+        sim = torch.cdist(a, b, p=2.0)
+        pos = sim * label_sim
+        neg = sim * (1 - label_sim)
+        max_value = float(K * 2 * mcfg.vartheta) ** 0.5
+        neg = neg.clip(max=max_value)
+        neg = max_value * (1 - label_sim) - neg
+        return torch.pow(pos, 2).mean() + torch.pow(neg, 2).mean()
+
+    expected = float(sim_loss(ti, tt) + sim_loss(ti, ti) + sim_loss(tt, tt))
+    got, _ = dchmt_loss(jnp.asarray(flat_i), jnp.asarray(flat_t), jnp.asarray(LABEL),
+                        mcfg, K)
+    assert abs(float(got) - expected) < 1e-4, (float(got), expected)
+
+
+def test_hyp_loss_parity():
+    """DSPH HyP parity (train/DSPH/loss.py:22-72) via a CPU shim."""
+    from ccmh.losses.dsph import hyp_loss
+    import torch.nn.functional as F
+
+    proxies = rng.randn(C, K).astype(np.float32)
+    threshold = 0.3
+    alpha = 0.8
+
+    x, y = torch.from_numpy(HI), torch.from_numpy(HT)
+    P = torch.from_numpy(LABEL)
+    pr = torch.from_numpy(proxies)
+    cos = F.normalize(x, 2, 1) @ F.normalize(pr, 2, 1).T
+    cos_t = F.normalize(y, 2, 1) @ F.normalize(pr, 2, 1).T
+    P_num = len(P.nonzero())
+    N_num = len((P == 0).nonzero())
+    pos_term = torch.where(P == 1, 1 - cos, torch.zeros_like(cos)).sum() / P_num
+    neg_term = torch.where(P == 0, F.relu(cos - threshold), torch.zeros_like(cos)).sum() / N_num
+    pos_t = torch.where(P == 1, 1 - cos_t, torch.zeros_like(cos)).sum() / P_num
+    neg_t = torch.where(P == 0, F.relu(cos_t - threshold), torch.zeros_like(cos)).sum() / N_num
+    idx = P.sum(1) > 1
+    lab_ = P[idx]
+    x_, t_ = x[idx], y[idx]
+    cos_sim = lab_ @ lab_.T
+    if len((cos_sim == 0).nonzero()) == 0:
+        reg = 0.0
+    else:
+        xs = F.normalize(x_, 2, 1) @ F.normalize(x_, 2, 1).T
+        ts = F.normalize(t_, 2, 1) @ F.normalize(t_, 2, 1).T
+        xts = F.normalize(x_, 2, 1) @ F.normalize(t_, 2, 1).T
+        nz = len((cos_sim == 0).nonzero())
+        reg = (torch.where(cos_sim == 0, alpha * F.relu(xs - threshold), torch.zeros_like(xs)).sum() / nz
+               + torch.where(cos_sim == 0, alpha * F.relu(ts - threshold), torch.zeros_like(ts)).sum() / nz
+               + torch.where(cos_sim == 0, alpha * F.relu(xts - threshold), torch.zeros_like(xts)).sum() / nz)
+    expected = float(pos_term + neg_term + pos_t + neg_t + reg)
+
+    got, _ = hyp_loss(jnp.asarray(HI), jnp.asarray(HT), jnp.asarray(LABEL),
+                      jnp.asarray(proxies), threshold, alpha)
+    assert abs(float(got) - expected) < 1e-5, (float(got), expected)

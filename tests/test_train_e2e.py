@@ -63,7 +63,9 @@ def test_split_parity_with_reference():
         np.stack(list(s.retrieval.labels[:20])))
 
 
-@pytest.mark.parametrize("method", ["DCHMT", "DSPH"])
+@pytest.mark.parametrize(
+    "method",
+    ["DCHMT", "DSPH", "DNpH", "DMsH_LN", "DScPH", "DDWSH", "DDBH", "DNPH"])
 def test_train_and_valid(method, tmp_path):
     trainer = make_trainer(method, tmp_path)
     state0_loss = None
