@@ -1,14 +1,18 @@
 """Benchmark: image+text encode throughput per chip on the flagship model.
 
 Runs the full ViT-B/32 CLIP + LinearHash heads (the shared compute path of
-all 14 methods) in bfloat16 on the available device and reports pairs
-encoded per second per chip.  Baseline target (BASELINE.md): >= 10,000
-image+text encodes/sec/chip on v5e.
+all 14 methods) in bfloat16 and reports pairs encoded per second per chip.
+Baseline target (BASELINE.md): >= 10,000 image+text encodes/sec/chip on v5e.
 
-Prints ONE JSON line to stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-Secondary numbers (Hamming mAP eval latency over a synthetic COCO-sized
-gallery) go to stderr.
+Timing methodology: the axon relay used on this host can re-ship buffers
+per call and its block_until_ready is unreliable for sub-ms kernels, so we
+time a single jitted program that runs N forward passes inside a
+lax.fori_loop whose carry chains each iteration's input to the previous
+iteration's output (the compiler cannot elide or overlap iterations), and
+subtract the cost of a shorter loop to cancel the fixed call overhead.
+
+Prints ONE JSON line to stdout; secondary metrics (full-gallery Hamming mAP
+eval latency) go to stderr.
 """
 
 import json
@@ -29,7 +33,6 @@ def main():
     from ccmh.clip.model import ClipConfig, init_clip_params, encode_image, encode_text
     from ccmh.models.heads import init_linear_hash, linear_hash
     from ccmh.ops.map_metric import calc_map
-    from ccmh.ops.packing import sign_codes
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
@@ -41,8 +44,7 @@ def main():
         "img_head": init_linear_hash(jax.random.fold_in(key, 1), cfg.embed_dim, 64),
         "txt_head": init_linear_hash(jax.random.fold_in(key, 2), cfg.embed_dim, 64),
     }
-
-    B = 512
+    B = 256
     images = jnp.asarray(
         np.random.RandomState(0).randn(B, cfg.image_resolution, cfg.image_resolution, 3),
         jnp.float32)
@@ -52,29 +54,39 @@ def main():
     ids[:, 31] = 49407
     ids = jnp.asarray(ids)
 
-    @jax.jit
-    def encode_pairs(params, images, ids):
-        img = encode_image(params["clip"], cfg, images, dtype=jnp.bfloat16)
-        txt = encode_text(params["clip"], cfg, ids, dtype=jnp.bfloat16)
+    def encode_pair(params, x, t):
+        img = encode_image(params["clip"], cfg, x, dtype=jnp.bfloat16)
+        txt = encode_text(params["clip"], cfg, t, dtype=jnp.bfloat16)
         hi = linear_hash(params["img_head"], img.astype(jnp.float32))
         ht = linear_hash(params["txt_head"], txt.astype(jnp.float32))
-        return sign_codes(hi), sign_codes(ht)
+        return jnp.sum(hi) + jnp.sum(ht)
 
-    # warmup / compile
-    t0 = time.time()
-    out = encode_pairs(params, images, ids)
-    jax.block_until_ready(out)
-    log(f"compile+first batch: {time.time() - t0:.1f}s")
+    import functools
 
-    n_iters = 20
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chained(params, x, t, n):
+        def body(_, carry):
+            x_c, acc = carry
+            s = encode_pair(params, x_c, t)
+            # feed the output back into the next input: serializes iterations
+            return (x_c + (s * 1e-24).astype(x_c.dtype), acc + s)
+
+        return jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))[1]
+
+    n_small, n_large = 4, 24
+    v = float(chained(params, images, ids, n_small))   # compile both variants
+    v = float(chained(params, images, ids, n_large))
     t0 = time.time()
-    for _ in range(n_iters):
-        out = encode_pairs(params, images, ids)
-    jax.block_until_ready(out)
-    elapsed = time.time() - t0
-    encodes_per_sec = n_iters * B / elapsed
+    float(chained(params, images, ids, n_small))
+    t_small = time.time() - t0
+    t0 = time.time()
+    float(chained(params, images, ids, n_large))
+    t_large = time.time() - t0
+    per_iter = (t_large - t_small) / (n_large - n_small)
+    encodes_per_sec = B / per_iter
     log(f"encode throughput: {encodes_per_sec:,.0f} image+text pairs/s/chip "
-        f"({elapsed / n_iters * 1e3:.1f} ms / {B}-batch)")
+        f"({per_iter * 1e3:.2f} ms / {B}-batch; loop {n_small}={t_small:.3f}s "
+        f"{n_large}={t_large:.3f}s)")
 
     # secondary: full-gallery Hamming mAP eval latency (COCO-sized)
     try:
@@ -84,12 +96,12 @@ def main():
         rB = jnp.asarray((rng.randint(0, 2, (n_gallery, k)) * 2 - 1).astype(np.int8))
         qL = jnp.asarray((rng.rand(n_query, 80) < 0.1).astype(np.float32))
         rL = jnp.asarray((rng.rand(n_gallery, 80) < 0.1).astype(np.float32))
-        v = float(calc_map(qB, rB, qL, rL, chunk=512))  # compile
-        t0 = time.time()
-        v = float(calc_map(qB, rB, qL, rL, chunk=512))
-        map_time = time.time() - t0
-        log(f"full-gallery COCO-sized mAP eval: {map_time:.3f}s (mAP={v:.4f}) "
-            f"target <1s")
+        for method in ("hist", "exact"):
+            v = float(calc_map(qB, rB, qL, rL, chunk=512, method=method))  # compile
+            t0 = time.time()
+            v = float(calc_map(qB, rB, qL, rL, chunk=512, method=method))
+            log(f"full-gallery COCO-sized mAP eval [{method}]: "
+                f"{time.time() - t0:.3f}s (mAP={v:.4f}) target <1s")
     except Exception as e:  # noqa: BLE001 - secondary metric must not kill bench
         log(f"mAP bench failed: {e}")
 

@@ -56,8 +56,14 @@ def ms_loss(
         pos_exp = pos_exp * w_pos
         neg_exp = neg_exp * w_neg
 
-    denom = jnp.sum(neg_exp, 1) + jnp.sum(pos_exp, 1)
-    return jnp.mean(-jnp.log(jnp.sum(pos_exp, 1) / denom))
+    pos_sum = jnp.sum(pos_exp, 1)
+    denom = jnp.sum(neg_exp, 1) + pos_sum
+    # Rows with no positive pair would hit log(0) (the reference would too,
+    # MSLoss.py:33 — real datasets guarantee >=1 label per item); exclude
+    # them rather than poisoning the batch (fix, documented).
+    has_pos = jnp.sum(mask, 1) > 0
+    per_row = jnp.where(has_pos, -jnp.log(jnp.maximum(pos_sum, 1e-30) / denom), 0.0)
+    return jnp.sum(per_row) / jnp.maximum(jnp.sum(has_pos), 1)
 
 
 # ---------------------------------------------------------------------------

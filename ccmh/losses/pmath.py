@@ -82,8 +82,16 @@ def mobius_addition_batch(x: jax.Array, y: jax.Array, c: float) -> jax.Array:
     return num / (denom[:, :, None] + 1e-5)
 
 
+def _safe_norm(x: jax.Array) -> jax.Array:
+    """L2 norm over the last axis with zero (not NaN) gradient at 0 — torch's
+    norm backward special-cases the origin; jnp.linalg.norm does not."""
+    sq = jnp.sum(x * x, axis=-1)
+    is_zero = sq < 1e-24
+    return jnp.where(is_zero, 0.0, jnp.sqrt(jnp.where(is_zero, 1.0, sq)))
+
+
 def dist_matrix(x: jax.Array, y: jax.Array, c: float) -> jax.Array:
     """Pairwise Poincaré geodesic distances (HPloss.py:46-57)."""
     sqrt_c = c ** 0.5
     add = mobius_addition_batch(-x, y, c)
-    return (2.0 / sqrt_c) * artanh(sqrt_c * jnp.linalg.norm(add, axis=-1))
+    return (2.0 / sqrt_c) * artanh(sqrt_c * _safe_norm(add))

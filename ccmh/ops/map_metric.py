@@ -62,6 +62,59 @@ def _map_chunk(
     return jnp.sum(ap)
 
 
+@functools.partial(jax.jit, static_argnames=("n_bins",))
+def _map_chunk_hist(
+    q_codes: jax.Array,     # [C, K] ±1
+    r_codes: jax.Array,     # [N, K] ±1
+    q_labels: jax.Array,    # [C, L]
+    r_labels: jax.Array,    # [N, L]
+    n_bins: int,
+) -> jax.Array:
+    """Sort-free mAP@all: per-distance histograms + the closed-form expected
+    AP over random tie permutations (McSherry & Najork, ECIR'08).
+
+    Hamming distances take only K+1 integer values, so the full ranking
+    collapses to K+1 tie groups per query.  With A_d items (R_d relevant) at
+    distance d, L_d/P_d cumulative counts below d, and H the harmonic number
+    (via digamma), the expected AP contribution of group d is
+
+        (R_d/A_d) [ (P_d+1) S1 + (R_d-1)/(A_d-1) (A_d - (L_d+1) S1) ],
+        S1 = H(L_d+A_d) - H(L_d).
+
+    This is O(N·K) comparisons and O(K) transcendentals per query — no
+    O(N log² N) sort — and differs from the stable-tie exact metric only
+    within tie-permutation noise (the reference's own unstable torch.sort
+    has the same noise, utils/calc_utils.py:31).
+    """
+    dist = hamming_distance(q_codes, r_codes)                     # [C, N]
+    gnd = (
+        jnp.dot(q_labels, r_labels.T, preferred_element_type=jnp.float32) > 0
+    ).astype(jnp.float32)
+
+    # per-bin counts: unrolled fused compare+reduce, no [C, N, bins] blowup
+    hist_all = []
+    hist_rel = []
+    for d in range(n_bins):
+        m = (dist == d).astype(jnp.float32)
+        hist_all.append(jnp.sum(m, axis=1))
+        hist_rel.append(jnp.sum(m * gnd, axis=1))
+    A = jnp.stack(hist_all, axis=1)                               # [C, bins]
+    R = jnp.stack(hist_rel, axis=1)
+    L = jnp.cumsum(A, axis=1) - A
+    P = jnp.cumsum(R, axis=1) - R
+
+    harm = lambda n: jax.scipy.special.digamma(n + 1.0)           # H(n) - γ
+    S1 = harm(L + A) - harm(L)
+    safe_A1 = jnp.maximum(A - 1.0, 1.0)
+    contrib = (R / jnp.maximum(A, 1.0)) * (
+        (P + 1.0) * S1 + (R - 1.0) / safe_A1 * (A - (L + 1.0) * S1)
+    )
+    contrib = jnp.where(A > 0, contrib, 0.0)
+    tsum = jnp.sum(R, axis=1)
+    ap = jnp.where(tsum > 0, jnp.sum(contrib, axis=1) / jnp.maximum(tsum, 1.0), 0.0)
+    return jnp.sum(ap)
+
+
 def calc_map(
     q_codes: jax.Array,
     r_codes: jax.Array,
@@ -69,6 +122,7 @@ def calc_map(
     r_labels: jax.Array,
     k: Optional[int] = None,
     chunk: int = 512,
+    method: str = "auto",
 ) -> jax.Array:
     """mAP@k of Hamming ranking (k=None -> mAP@all).
 
@@ -77,19 +131,28 @@ def calc_map(
     chunks so the [chunk, N] distance matrix stays comfortably in HBM for
     million-item galleries; the final division is by the *total* query
     count, zero-relevance queries included (reference parity).
+
+    ``method``: "exact" — stable sort, deterministic index tie-breaking;
+    "hist" — sort-free expected-tie AP (mAP@all only, ~4x faster on large
+    galleries); "auto" — hist when k is None, exact otherwise.
     """
+    use_hist = (method == "hist") or (method == "auto" and k is None)
     num_query = q_codes.shape[0]
     q_codes = jnp.asarray(q_codes)
     r_codes = jnp.asarray(r_codes)
     q_labels = jnp.asarray(q_labels, dtype=jnp.float32)
     r_labels = jnp.asarray(r_labels, dtype=jnp.float32)
+    n_bins = q_codes.shape[1] + 1
 
     total = jnp.zeros((), jnp.float32)
     for start in range(0, num_query, chunk):
         size = min(chunk, num_query - start)
         qc = jax.lax.dynamic_slice_in_dim(q_codes, start, size, 0)
         ql = jax.lax.dynamic_slice_in_dim(q_labels, start, size, 0)
-        total = total + _map_chunk(qc, r_codes, ql, r_labels, k)
+        if use_hist:
+            total = total + _map_chunk_hist(qc, r_codes, ql, r_labels, n_bins)
+        else:
+            total = total + _map_chunk(qc, r_codes, ql, r_labels, k)
     return total / num_query
 
 
@@ -99,11 +162,12 @@ def calc_map_4way(
     q_labels: jax.Array, r_labels: jax.Array,
     k: Optional[int] = None,
     chunk: int = 512,
+    method: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """(i2t, t2i, i2i, t2t) mAP — the reference's validation quartet
     (train/base.py:259-262)."""
-    i2t = calc_map(query_img, retrieval_txt, q_labels, r_labels, k, chunk)
-    t2i = calc_map(query_txt, retrieval_img, q_labels, r_labels, k, chunk)
-    i2i = calc_map(query_img, retrieval_img, q_labels, r_labels, k, chunk)
-    t2t = calc_map(query_txt, retrieval_txt, q_labels, r_labels, k, chunk)
+    i2t = calc_map(query_img, retrieval_txt, q_labels, r_labels, k, chunk, method)
+    t2i = calc_map(query_txt, retrieval_img, q_labels, r_labels, k, chunk, method)
+    i2i = calc_map(query_img, retrieval_img, q_labels, r_labels, k, chunk, method)
+    t2t = calc_map(query_txt, retrieval_txt, q_labels, r_labels, k, chunk, method)
     return i2t, t2i, i2i, t2t

@@ -38,6 +38,8 @@ class Method:
     extra_tx: Optional[Callable[[Config], optax.GradientTransformation]] = None
     features: str = "pooled"       # clip output mode the method needs
     needs_mask: bool = False       # MITH-style key_padding_mask batches
+    # optional: batch -> {name: (img ±1, txt ±1)} for multi-length eval (TwDH)
+    multi_encode: Optional[Callable[..., Dict[str, Tuple[jax.Array, jax.Array]]]] = None
 
     def make_loss_fn(self, cfg: Config, clip_cfg: ClipConfig):
         def loss_fn(params, extra, aux, batch, rng):

@@ -126,6 +126,13 @@ class Trainer:
         loss_fn = self.method.make_loss_fn(cfg, clip_cfg)
         self.train_step = make_train_step(loss_fn, self.tx, self.extra_tx, cfg, clip_cfg)
         self.encode_step = self.method.make_encode_fn(cfg, clip_cfg)
+        self.multi_encode_step = None
+        if self.method.multi_encode is not None:
+            import jax as _jax
+
+            self.multi_encode_step = _jax.jit(
+                lambda p, a, b: self.method.multi_encode(p, a, b, cfg, clip_cfg))
+            self.max_multi: dict = {}
 
     # ------------------------------------------------------------------ train
     def run(self):
@@ -218,7 +225,44 @@ class Trainer:
         self.metrics.write("valid", self.global_step, epoch=epoch, i2t=i2t,
                            t2i=t2i, i2i=i2i, t2t=t2t,
                            q_encoder_time=q_time, r_encoder_time=r_time)
+        if self.multi_encode_step is not None:
+            self.valid_multi(epoch)
         return i2t, t2i, i2i, t2t
+
+    def _get_multi_codes(self, loader: BatchIterator, length: int):
+        buffers: Dict[str, list] = {}
+        for batch in loader:
+            jbatch = {key: jnp.asarray(v) for key, v in batch.items() if key != "valid"}
+            out = self.multi_encode_step(self.state.params, self.state.aux, jbatch)
+            valid = batch["valid"]
+            idx = batch["index"][valid]
+            for name, (ic, tc) in out.items():
+                if name not in buffers:
+                    k = np.asarray(ic).shape[1]
+                    buffers[name] = [np.zeros((length, k), np.int8),
+                                     np.zeros((length, k), np.int8)]
+                buffers[name][0][idx] = np.asarray(ic)[valid]
+                buffers[name][1][idx] = np.asarray(tc)[valid]
+        return buffers
+
+    def valid_multi(self, epoch: int):
+        """Per-length validation for multi-code methods
+        (train/TwDH/hash_train.py:219-253 valid_each)."""
+        q = self._get_multi_codes(self.query_loader, len(self.query_data))
+        r = self._get_multi_codes(self.retrieval_loader, len(self.retrieval_data))
+        for name in q:
+            i2t, t2i, i2i, t2t = map(float, calc_map_4way(
+                q[name][0], q[name][1], r[name][0], r[name][1],
+                self.query_labels, self.retrieval_labels))
+            best = self.max_multi.setdefault(name, {"i2t": 0.0, "t2i": 0.0})
+            best["i2t"] = max(best["i2t"], i2t)
+            best["t2i"] = max(best["t2i"], t2i)
+            self.logger.info(
+                f">>>>>> [{epoch}/{self.cfg.epochs}] [{name}] MAP(i->t): {i2t}, "
+                f"MAP(t->i): {t2i}, MAP(i->i): {i2i}, MAP(t->t): {t2t}, "
+                f"MAX i2t: {best['i2t']}, MAX t2i: {best['t2i']}")
+            self.metrics.write(f"valid_{name}", self.global_step, epoch=epoch,
+                               i2t=i2t, t2i=t2i, i2i=i2i, t2t=t2t)
 
     def test(self, mode_name: str = "i2t"):
         if not self.cfg.pretrained:

@@ -130,7 +130,7 @@ def test_map_matches_stable_oracle():
     rL = random_labels(100, 8, 8)
     for k in (None, 10, 50):
         expected = stable_map_oracle(qB, rB, qL, rL, k)
-        got = float(calc_map(jnp.asarray(qB), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL), k, chunk=7))
+        got = float(calc_map(jnp.asarray(qB), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL), k, chunk=7, method="exact"))
         assert abs(got - expected) < 1e-6, (k, got, expected)
 
 
@@ -145,7 +145,7 @@ def test_map_close_to_reference_with_ties():
     expected = float(ref.calc_map_k_matrix(
         torch.from_numpy(qB), torch.from_numpy(rB),
         torch.from_numpy(qL), torch.from_numpy(rL)))
-    got = float(calc_map(jnp.asarray(qB), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL)))
+    got = float(calc_map(jnp.asarray(qB), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL), method="exact"))
     assert abs(got - expected) < 0.02, (got, expected)
 
 
@@ -168,7 +168,7 @@ def test_map_exact_vs_reference_tie_free():
     expected = float(ref.calc_map_k_matrix(
         torch.from_numpy(base), torch.from_numpy(rB),
         torch.from_numpy(qL), torch.from_numpy(rL)))
-    got = float(calc_map(jnp.asarray(base), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL)))
+    got = float(calc_map(jnp.asarray(base), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL), method="exact"))
     assert abs(got - expected) < 1e-6
 
 
@@ -179,7 +179,7 @@ def test_map_zero_relevance_queries_count_in_denominator():
     qL[0, 0] = 1  # only one query has any relevant item
     rL = np.zeros((10, 3), np.float32)
     rL[:, 0] = 1
-    got = float(calc_map(jnp.asarray(qB), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL)))
+    got = float(calc_map(jnp.asarray(qB), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL), method="exact"))
     # query 0 has all-relevant gallery => AP 1; the rest contribute 0
     assert abs(got - 0.25) < 1e-6
 
@@ -195,3 +195,29 @@ def test_map_4way_shapes():
     assert len(out) == 4
     for v in out:
         assert 0.0 <= float(v) <= 1.0
+
+
+def test_hist_map_close_to_exact():
+    """Expected-tie (hist) estimator agrees with the exact stable metric
+    within tie-permutation noise, and exactly on tie-free data."""
+    qB = random_codes(40, 32, 20).astype(np.float32)
+    rB = random_codes(400, 32, 21).astype(np.float32)
+    qL = random_labels(40, 12, 22)
+    rL = random_labels(400, 12, 23)
+    exact = float(calc_map(jnp.asarray(qB), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL), method="exact"))
+    hist = float(calc_map(jnp.asarray(qB), jnp.asarray(rB), jnp.asarray(qL), jnp.asarray(rL), method="hist"))
+    assert abs(hist - exact) < 0.02, (hist, exact)
+
+    # tie-free single query: both must equal the oracle exactly
+    k = 16
+    rng = np.random.RandomState(7)
+    base = (rng.randint(0, 2, size=(1, k)) * 2 - 1).astype(np.float32)
+    rB1 = np.repeat(base, 9, axis=0)
+    for i in range(9):
+        rB1[i, :i] *= -1
+    qL1 = np.ones((1, 1), np.float32)
+    rL1 = rng.randint(0, 2, size=(9, 1)).astype(np.float32)
+    rL1[0] = 1
+    e = stable_map_oracle(base, rB1, qL1, rL1)
+    h = float(calc_map(jnp.asarray(base), jnp.asarray(rB1), jnp.asarray(qL1), jnp.asarray(rL1), method="hist"))
+    assert abs(h - e) < 1e-5, (h, e)

@@ -42,9 +42,26 @@ def tiny_cfg(method: str, tmp_path, **kw) -> Config:
 def make_trainer(method: str, tmp_path, **kw) -> Trainer:
     raw = synthetic_arrays(n=64, n_class=8, resolution=TINY.image_resolution)
     cfg = tiny_cfg(method, tmp_path, **kw)
+    if method == "TwDH":
+        cfg.twdh.center_path = _twdh_assets(tmp_path)
     splits = split_data(raw, query_num=cfg.query_num, train_num=cfg.train_num, seed=cfg.seed)
     clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
     return Trainer(cfg, splits=splits, clip_cfg=TINY, clip_params=clip_params)
+
+
+def _twdh_assets(tmp_path) -> str:
+    """Synthetic TwDH center/trans npz: long=16 bits, one short length 8."""
+    path = str(tmp_path / "twdh_centers.npz")
+    r = np.random.RandomState(0)
+    np.savez(
+        path,
+        **{
+            "long/16": (r.randint(0, 2, (8, 16)) * 2 - 1).astype(np.float32),
+            "short/8": (r.randint(0, 2, (8, 8)) * 2 - 1).astype(np.float32),
+            "trans/16/8": r.randn(32, 16).astype(np.float32),
+        },
+    )
+    return path
 
 
 def test_split_parity_with_reference():
@@ -65,7 +82,8 @@ def test_split_parity_with_reference():
 
 @pytest.mark.parametrize(
     "method",
-    ["DCHMT", "DSPH", "DNpH", "DMsH_LN", "DScPH", "DDWSH", "DDBH", "DNPH"])
+    ["DCHMT", "DSPH", "DNpH", "DMsH_LN", "DScPH", "DDWSH", "DDBH", "DNPH",
+     "DHaPH", "TwDH"])
 def test_train_and_valid(method, tmp_path):
     trainer = make_trainer(method, tmp_path)
     state0_loss = None
