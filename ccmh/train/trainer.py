@@ -115,6 +115,9 @@ class Trainer:
         heads, extra, aux = self.method.init(k_head, cfg, clip_cfg)
         params = {"clip": clip_params, **heads}
 
+        if "train_labels" in aux:  # MITH's buffer losses need the full split
+            aux["train_labels"] = jnp.asarray(self.train_data.all_labels())
+
         steps_per_epoch = len(self.train_loader)
         self.tx = make_main_optimizer(cfg, params, steps_per_epoch)
         self.extra_tx = self.method.extra_tx(cfg) if self.method.extra_tx else None
