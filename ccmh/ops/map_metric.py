@@ -33,17 +33,18 @@ import jax.numpy as jnp
 from ccmh.ops.hamming import hamming_distance
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "dist_fn"))
 def _map_chunk(
     q_codes: jax.Array,     # [C, K] ±1
     r_codes: jax.Array,     # [N, K] ±1
     q_labels: jax.Array,    # [C, L] multi-hot
     r_labels: jax.Array,    # [N, L]
     k: Optional[int],
+    dist_fn=None,
 ) -> jax.Array:
     """Sum of per-query APs for one chunk (scalar float32)."""
     n = r_codes.shape[0]
-    dist = hamming_distance(q_codes, r_codes)                     # [C, N] int32
+    dist = (dist_fn or hamming_distance)(q_codes, r_codes)        # [C, N] int32
     gnd = (
         jnp.dot(q_labels, r_labels.T, preferred_element_type=jnp.float32) > 0
     ).astype(jnp.int32)                                           # [C, N]
@@ -62,13 +63,14 @@ def _map_chunk(
     return jnp.sum(ap)
 
 
-@functools.partial(jax.jit, static_argnames=("n_bins",))
+@functools.partial(jax.jit, static_argnames=("n_bins", "dist_fn"))
 def _map_chunk_hist(
     q_codes: jax.Array,     # [C, K] ±1
     r_codes: jax.Array,     # [N, K] ±1
     q_labels: jax.Array,    # [C, L]
     r_labels: jax.Array,    # [N, L]
     n_bins: int,
+    dist_fn=None,
 ) -> jax.Array:
     """Sort-free mAP@all: per-distance histograms + the closed-form expected
     AP over random tie permutations (McSherry & Najork, ECIR'08).
@@ -86,7 +88,7 @@ def _map_chunk_hist(
     within tie-permutation noise (the reference's own unstable torch.sort
     has the same noise, utils/calc_utils.py:31).
     """
-    dist = hamming_distance(q_codes, r_codes)                     # [C, N]
+    dist = (dist_fn or hamming_distance)(q_codes, r_codes)        # [C, N]
     gnd = (
         jnp.dot(q_labels, r_labels.T, preferred_element_type=jnp.float32) > 0
     ).astype(jnp.float32)
@@ -123,6 +125,8 @@ def calc_map(
     k: Optional[int] = None,
     chunk: int = 512,
     method: str = "auto",
+    dist_fn=None,
+    n_bins: Optional[int] = None,
 ) -> jax.Array:
     """mAP@k of Hamming ranking (k=None -> mAP@all).
 
@@ -142,7 +146,8 @@ def calc_map(
     r_codes = jnp.asarray(r_codes)
     q_labels = jnp.asarray(q_labels, dtype=jnp.float32)
     r_labels = jnp.asarray(r_labels, dtype=jnp.float32)
-    n_bins = q_codes.shape[1] + 1
+    if n_bins is None:
+        n_bins = q_codes.shape[1] + 1
 
     total = jnp.zeros((), jnp.float32)
     for start in range(0, num_query, chunk):
@@ -150,9 +155,9 @@ def calc_map(
         qc = jax.lax.dynamic_slice_in_dim(q_codes, start, size, 0)
         ql = jax.lax.dynamic_slice_in_dim(q_labels, start, size, 0)
         if use_hist:
-            total = total + _map_chunk_hist(qc, r_codes, ql, r_labels, n_bins)
+            total = total + _map_chunk_hist(qc, r_codes, ql, r_labels, n_bins, dist_fn)
         else:
-            total = total + _map_chunk(qc, r_codes, ql, r_labels, k)
+            total = total + _map_chunk(qc, r_codes, ql, r_labels, k, dist_fn)
     return total / num_query
 
 
@@ -163,11 +168,13 @@ def calc_map_4way(
     k: Optional[int] = None,
     chunk: int = 512,
     method: str = "auto",
+    dist_fn=None,
+    n_bins: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """(i2t, t2i, i2i, t2t) mAP — the reference's validation quartet
     (train/base.py:259-262)."""
-    i2t = calc_map(query_img, retrieval_txt, q_labels, r_labels, k, chunk, method)
-    t2i = calc_map(query_txt, retrieval_img, q_labels, r_labels, k, chunk, method)
-    i2i = calc_map(query_img, retrieval_img, q_labels, r_labels, k, chunk, method)
-    t2t = calc_map(query_txt, retrieval_txt, q_labels, r_labels, k, chunk, method)
+    i2t = calc_map(query_img, retrieval_txt, q_labels, r_labels, k, chunk, method, dist_fn, n_bins)
+    t2i = calc_map(query_txt, retrieval_img, q_labels, r_labels, k, chunk, method, dist_fn, n_bins)
+    i2i = calc_map(query_img, retrieval_img, q_labels, r_labels, k, chunk, method, dist_fn, n_bins)
+    t2t = calc_map(query_txt, retrieval_txt, q_labels, r_labels, k, chunk, method, dist_fn, n_bins)
     return i2t, t2i, i2i, t2t

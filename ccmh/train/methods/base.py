@@ -40,6 +40,12 @@ class Method:
     needs_mask: bool = False       # MITH-style key_padding_mask batches
     # optional: batch -> {name: (img ±1, txt ±1)} for multi-length eval (TwDH)
     multi_encode: Optional[Callable[..., Dict[str, Tuple[jax.Array, jax.Array]]]] = None
+    # optional: cfg -> (q, r) -> int32 distances, replacing plain Hamming in
+    # evaluation (DPSIH's multi-embed max-similarity ranking)
+    dist_fn: Optional[Callable[[Config], Callable]] = None
+    # optional global grad-norm clip applied before BertAdam's per-tensor
+    # clip (DPSIH: train/DPSIH/hash_train.py:70-71, clip at 2.0)
+    grad_clip: float = 0.0
 
     def make_loss_fn(self, cfg: Config, clip_cfg: ClipConfig):
         def loss_fn(params, extra, aux, batch, rng):

@@ -120,6 +120,13 @@ class Trainer:
 
         steps_per_epoch = len(self.train_loader)
         self.tx = make_main_optimizer(cfg, params, steps_per_epoch)
+        if self.method.grad_clip > 0:
+            # global clip before BertAdam's per-tensor clip
+            # (train/DPSIH/hash_train.py:70-71)
+            import optax as _optax
+
+            self.tx = _optax.chain(
+                _optax.clip_by_global_norm(self.method.grad_clip), self.tx)
         self.extra_tx = self.method.extra_tx(cfg) if self.method.extra_tx else None
         self.state = init_state(k_state, params, extra, aux, self.tx, self.extra_tx)
 
@@ -129,6 +136,7 @@ class Trainer:
         loss_fn = self.method.make_loss_fn(cfg, clip_cfg)
         self.train_step = make_train_step(loss_fn, self.tx, self.extra_tx, cfg, clip_cfg)
         self.encode_step = self.method.make_encode_fn(cfg, clip_cfg)
+        self.eval_dist_fn = self.method.dist_fn(cfg) if self.method.dist_fn else None
         self.multi_encode_step = None
         if self.method.multi_encode is not None:
             import jax as _jax
@@ -183,9 +191,7 @@ class Trainer:
         """Extract ±1 codes for a split, scattered by dataset index
         (parity: train/base.py:130-148; encoder_time accumulates — the
         reference's `=` overwrite at base.py:144 is a recorded bug)."""
-        k = self.cfg.output_dim
-        img_buf = np.zeros((length, k), np.int8)
-        txt_buf = np.zeros((length, k), np.int8)
+        img_buf = txt_buf = None  # width inferred from the first batch
         encoder_time = 0.0
         for batch in loader:
             start = time.time()
@@ -194,6 +200,9 @@ class Trainer:
             img_codes, txt_codes = self.encode_step(self.state.params, self.state.aux, jbatch)
             img_codes, txt_codes = np.asarray(img_codes), np.asarray(txt_codes)
             encoder_time += time.time() - start
+            if img_buf is None:
+                img_buf = np.zeros((length, img_codes.shape[1]), np.int8)
+                txt_buf = np.zeros((length, txt_codes.shape[1]), np.int8)
             valid = batch["valid"]
             idx = batch["index"][valid]
             img_buf[idx] = img_codes[valid]
@@ -206,7 +215,8 @@ class Trainer:
         r_img, r_txt, r_time = self.get_code(self.retrieval_loader, len(self.retrieval_data))
 
         i2t, t2i, i2i, t2t = calc_map_4way(
-            q_img, q_txt, r_img, r_txt, self.query_labels, self.retrieval_labels)
+            q_img, q_txt, r_img, r_txt, self.query_labels, self.retrieval_labels,
+            dist_fn=self.eval_dist_fn, n_bins=self.cfg.output_dim + 1)
         i2t, t2i, i2i, t2t = map(float, (i2t, t2i, i2i, t2t))
 
         if self.max_mapi2t < i2t:
@@ -273,7 +283,8 @@ class Trainer:
         q_img, q_txt, _ = self.get_code(self.query_loader, len(self.query_data))
         r_img, r_txt, _ = self.get_code(self.retrieval_loader, len(self.retrieval_data))
         i2t, t2i, i2i, t2t = map(float, calc_map_4way(
-            q_img, q_txt, r_img, r_txt, self.query_labels, self.retrieval_labels))
+            q_img, q_txt, r_img, r_txt, self.query_labels, self.retrieval_labels,
+            dist_fn=self.eval_dist_fn, n_bins=self.cfg.output_dim + 1))
         self.logger.info(
             f">>>>>> MAP(i->t): {i2t}, MAP(t->i): {t2i}, MAP(t->t): {t2t}, MAP(i->i): {i2i}")
         self.save_mat(q_img, q_txt, r_img, r_txt, mode_name=mode_name)

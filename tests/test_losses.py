@@ -208,3 +208,32 @@ def test_hyp_loss_parity():
     got, _ = hyp_loss(jnp.asarray(HI), jnp.asarray(HT), jnp.asarray(LABEL),
                       jnp.asarray(proxies), threshold, alpha)
     assert abs(float(got) - expected) < 1e-5, (float(got), expected)
+
+
+def test_msc_loss_parity():
+    """DPSIH Multi_Semantic_Correlation_Loss (train/DPSIH/Loss.py:81-137)."""
+    ref = load_reference_module("train/DPSIH/Loss.py")
+    msc = ref.Multi_Semantic_Correlation_Loss(margin=0.25, hardness="all",
+                                              normalize_embeddings=False)
+    from ccmh.losses.dpsih import msc_loss
+    import jax.numpy as jnp
+
+    # 2-D case
+    with torch.no_grad():
+        e1 = msc(torch.from_numpy(HI), torch.from_numpy(LABEL))[0]
+        e1 = float(e1) if torch.is_tensor(e1) else float(e1)
+        e2 = msc(torch.from_numpy(HI), torch.from_numpy(LABEL),
+                 torch.from_numpy(HT))[0]
+        e2 = float(e2) if torch.is_tensor(e2) else float(e2)
+    g1 = float(msc_loss(jnp.asarray(HI), jnp.asarray(LABEL), margin=0.25))
+    g2 = float(msc_loss(jnp.asarray(HI), jnp.asarray(LABEL), inputs=jnp.asarray(HT), margin=0.25))
+    assert abs(g1 - e1) < 1e-5, (g1, e1)
+    assert abs(g2 - e2) < 1e-5, (g2, e2)
+
+    # multi-embed case [B, E, K]
+    E = 3
+    mi = np.tanh(rng.randn(B, E, K)).astype(np.float32)
+    with torch.no_grad():
+        e3 = float(msc(torch.from_numpy(mi), torch.from_numpy(LABEL))[0])
+    g3 = float(msc_loss(jnp.asarray(mi), jnp.asarray(LABEL), margin=0.25))
+    assert abs(g3 - e3) < 1e-5, (g3, e3)
