@@ -83,7 +83,7 @@ def test_split_parity_with_reference():
 @pytest.mark.parametrize(
     "method",
     ["DCHMT", "DSPH", "DNpH", "DMsH_LN", "DScPH", "DDWSH", "DDBH", "DNPH",
-     "DHaPH", "TwDH", "MITH", "DPSIH", "DPBE"])
+     "DHaPH", "TwDH", "MITH", "DPSIH", "DPBE", "DGHDGH"])
 def test_train_and_valid(method, tmp_path):
     trainer = make_trainer(method, tmp_path)
     state0_loss = None
