@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint-every", type=int, default=defaults.checkpoint_every)
     parser.add_argument("--mesh", type=str, default="1",
                         help="data-parallel mesh shape, e.g. '8'")
+    parser.add_argument("--clip-arch", type=str, default="vit-b-32",
+                        choices=["vit-b-32", "tiny"],
+                        help="architecture for random init when no --clip-path "
+                             "is given ('tiny' for smoke tests)")
     parser.add_argument("--set", action="append", default=[],
                         metavar="SECTION.FIELD=VALUE",
                         help="method hyperparameter override, e.g. --set dchmt.vartheta=0.3")
@@ -89,8 +93,15 @@ def config_from_args(argv=None) -> Config:
 def main(argv=None):
     from ccmh.train.trainer import Trainer
 
+    args = build_parser().parse_args(argv)
     cfg = config_from_args(argv)
-    trainer = Trainer(cfg)
+    clip_cfg = None
+    if not cfg.clip_path and args.clip_arch == "tiny":
+        from ccmh.clip.model import ClipConfig
+
+        clip_cfg = ClipConfig.tiny()
+        cfg = cfg.replace(resolution=clip_cfg.image_resolution)
+    trainer = Trainer(cfg, clip_cfg=clip_cfg)
     trainer.run()
     return trainer
 
