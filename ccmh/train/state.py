@@ -74,6 +74,7 @@ def make_train_step(
     extra_tx: Optional[optax.GradientTransformation],
     cfg: Config,
     clip_cfg: ClipConfig,
+    jit: bool = True,
 ):
     """Build the fused train step.
 
@@ -115,4 +116,6 @@ def make_train_step(
         )
         return new_state, metrics
 
+    if not jit:
+        return step_fn  # caller applies pjit with explicit shardings
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -1,0 +1,84 @@
+"""Data-parallel sharding tests on the 8-virtual-CPU-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccmh.clip.model import ClipConfig, init_clip_params
+from ccmh.config import Config
+from ccmh.ops.map_metric import calc_map
+from ccmh.parallel.mesh import (
+    data_parallel_train_step, make_mesh, replicate, shard_batch, sharded_map_eval,
+)
+from ccmh.train.methods import get_method
+from ccmh.train.state import init_state, make_main_optimizer, make_train_step
+
+TINY = ClipConfig.tiny()
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV, "conftest must provide 8 cpu devices"
+    return make_mesh(N_DEV)
+
+
+def make_batch(b, nclass=8, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "image": rng.randn(b, TINY.image_resolution, TINY.image_resolution, 3).astype(np.float32),
+        "text": np.tile(np.asarray([[49406] + [320] * 5 + [49407] + [0] * 25], np.int32), (b, 1)),
+        "label": (rng.rand(b, nclass) < 0.3).astype(np.float32),
+        "index": np.arange(b, dtype=np.int32),
+    }
+
+
+def build(method_name="DCHMT", batch=16, jit=True):
+    cfg = Config(method=method_name, output_dim=16, nclass=8, batch_size=batch,
+                 epochs=1, resolution=TINY.image_resolution)
+    method = get_method(cfg.method)
+    key = jax.random.PRNGKey(0)
+    heads, extra, aux = method.init(key, cfg, TINY)
+    params = {"clip": init_clip_params(key, TINY), **heads}
+    tx = make_main_optimizer(cfg, params, steps_per_epoch=4)
+    extra_tx = method.extra_tx(cfg) if method.extra_tx else None
+    state = init_state(jax.random.fold_in(key, 7), params, extra, aux, tx, extra_tx)
+    loss_fn = method.make_loss_fn(cfg, TINY)
+    step = make_train_step(loss_fn, tx, extra_tx, cfg, TINY, jit=jit)
+    return cfg, state, step
+
+
+def test_sharded_step_matches_single_device(mesh):
+    """One DP step over 8 devices must match the single-device step."""
+    cfg, state, step = build()
+    batch_np = make_batch(16)
+
+    # single device
+    s1, m1 = step(state, {k: jnp.asarray(v) for k, v in batch_np.items()})
+
+    # 8-device data parallel
+    cfg2, state2, step2 = build(jit=False)
+    with mesh:
+        sharded = data_parallel_train_step(step2, mesh)
+        state2 = replicate(mesh, state2)
+        batch = shard_batch(mesh, batch_np)
+        s2, m2 = sharded(state2, batch)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_sharded_map_eval(mesh):
+    rng = np.random.RandomState(0)
+    qB = (rng.randint(0, 2, (64, 16)) * 2 - 1).astype(np.int8)
+    rB = (rng.randint(0, 2, (200, 16)) * 2 - 1).astype(np.int8)
+    qL = (rng.rand(64, 8) < 0.2).astype(np.float32)
+    rL = (rng.rand(200, 8) < 0.2).astype(np.float32)
+    single = float(calc_map(qB, rB, qL, rL, method="exact"))
+    with mesh:
+        sharded = float(sharded_map_eval(
+            mesh, lambda *a: calc_map(*a, method="exact"), qB, rB, qL, rL))
+    assert abs(single - sharded) < 1e-6
