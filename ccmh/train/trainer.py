@@ -169,6 +169,8 @@ class Trainer:
     def train_epoch(self, epoch: int):
         cfg = self.cfg
         self.logger.info(f">>>>>> epochs: {epoch}/{cfg.epochs}")
+        if cfg.profile and epoch == 1:  # skip the compile-heavy first epoch
+            jax.profiler.start_trace(os.path.join(cfg.save_dir, "profile"))
         losses = []
         start = time.time()
         for batch in self.train_loader:
@@ -182,6 +184,8 @@ class Trainer:
                 self.logger.info(f">>>>>> Display >>>>>> [{epoch}/{cfg.epochs}] {m}")
                 self.metrics.write("train", self.global_step, **m)
         self.total_time += time.time() - start
+        if cfg.profile and epoch == 1:
+            jax.profiler.stop_trace()
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         self.logger.info(
             f">>>>>> [{epoch}/{cfg.epochs}] loss: {mean_loss}, time: {self.total_time}")

@@ -221,3 +221,16 @@ def test_hist_map_close_to_exact():
     e = stable_map_oracle(base, rB1, qL1, rL1)
     h = float(calc_map(jnp.asarray(base), jnp.asarray(rB1), jnp.asarray(qL1), jnp.asarray(rL1), method="hist"))
     assert abs(h - e) < 1e-5, (h, e)
+
+
+def test_compute_metrics_parity():
+    """R@K parity vs reference utils/utils.py:7-24 compute_metrics."""
+    ref = load_reference_module("utils/utils.py")
+    from ccmh.ops.recall import compute_metrics
+
+    rng = np.random.RandomState(0)
+    sim = rng.randn(20, 20).astype(np.float32)
+    expected = ref.compute_metrics(sim)
+    got = compute_metrics(jnp.asarray(sim))
+    for key in ("R1", "R5", "R10", "MedianR", "MeanR"):
+        assert abs(got[key] - float(expected[key])) < 1e-6, key
