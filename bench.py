@@ -88,6 +88,32 @@ def main():
         f"({per_iter * 1e3:.2f} ms / {B}-batch; loop {n_small}={t_small:.3f}s "
         f"{n_large}={t_large:.3f}s)")
 
+    # secondary: 1M-item synthetic gallery Hamming ranking (BASELINE.md)
+    try:
+        from ccmh.ops.hamming import hamming_distance, hamming_distance_packed
+        from ccmh.ops.packing import pack_codes
+
+        rng = np.random.RandomState(7)
+        n_gal, q_n, k = 1_000_000, 512, 64
+        qB = jnp.asarray((rng.randint(0, 2, (q_n, k)) * 2 - 1).astype(np.int8))
+        rB = jnp.asarray((rng.randint(0, 2, (n_gal, k)) * 2 - 1).astype(np.int8))
+        qP, rP = pack_codes(qB), pack_codes(rB)
+
+        f_dense = jax.jit(lambda a, b: jnp.min(hamming_distance(a, b), axis=1))
+        f_pack = jax.jit(lambda a, b: jnp.min(hamming_distance_packed(a, b), axis=1))
+        for name, f, a, b in (("int8-MXU", f_dense, qB, rB),
+                              ("pallas-popcount", f_pack, qP, rP)):
+            jax.block_until_ready(f(a, b))
+            t0 = time.time()
+            for _ in range(3):
+                out = f(a, b)
+            jax.block_until_ready(out)
+            dt = (time.time() - t0) / 3
+            log(f"1M-gallery Hamming ranking [{name}]: {dt * 1e3:.1f} ms "
+                f"for {q_n} queries -> {q_n / dt:,.0f} queries/s")
+    except Exception as e:  # noqa: BLE001
+        log(f"1M-gallery bench failed: {e}")
+
     # secondary: full-gallery Hamming mAP eval latency (COCO-sized)
     try:
         rng = np.random.RandomState(2)

@@ -30,9 +30,15 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = "data") -> Dict[str, Any]:
-    """Place a host batch with the leading dim sharded over the mesh."""
-    sharding = NamedSharding(mesh, P(axis))
-    return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
+    """Place a host batch with the leading dim sharded over the mesh
+    (scalar entries, e.g. the epoch counter, replicate)."""
+    data = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    out = {}
+    for k, v in batch.items():
+        arr = jnp.asarray(v)
+        out[k] = jax.device_put(arr, data if arr.ndim >= 1 else repl)
+    return out
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
@@ -44,18 +50,13 @@ def data_parallel_train_step(step_fn, mesh: Mesh, axis: str = "data"):
     """Wrap a jitted train step with explicit in/out shardings.
 
     State (params, opt state, aux) is replicated; the batch is sharded on
-    its leading axis.  XLA turns the loss mean into a cross-chip psum of
-    gradients — the NCCL-allreduce equivalent, but compiler-inserted and
-    fused with the backward pass.
+    its leading axis (place inputs with ``replicate``/``shard_batch`` —
+    GSPMD propagates those input shardings).  XLA turns the loss mean into
+    a cross-chip psum of gradients — the NCCL-allreduce equivalent, but
+    compiler-inserted and fused with the backward pass.
     """
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(axis))
-    return jax.jit(
-        step_fn,
-        in_shardings=(repl, data),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
+    return jax.jit(step_fn, out_shardings=(repl, repl), donate_argnums=(0,))
 
 
 def sharded_map_eval(mesh: Mesh, calc_map_fn, q_codes, r_codes, q_labels, r_labels,

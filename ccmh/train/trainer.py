@@ -134,7 +134,18 @@ class Trainer:
             self.load_checkpoint(cfg.pretrained)
 
         loss_fn = self.method.make_loss_fn(cfg, clip_cfg)
-        self.train_step = make_train_step(loss_fn, self.tx, self.extra_tx, cfg, clip_cfg)
+        self.mesh = None
+        if cfg.mesh_shape and cfg.mesh_shape[0] > 1:
+            from ccmh.parallel.mesh import make_mesh, data_parallel_train_step, replicate
+
+            self.mesh = make_mesh(cfg.mesh_shape[0])
+            raw_step = make_train_step(loss_fn, self.tx, self.extra_tx, cfg,
+                                       clip_cfg, jit=False)
+            self.train_step = data_parallel_train_step(raw_step, self.mesh)
+            self.state = replicate(self.mesh, self.state)
+            self.logger.info(f"data-parallel mesh over {cfg.mesh_shape[0]} devices")
+        else:
+            self.train_step = make_train_step(loss_fn, self.tx, self.extra_tx, cfg, clip_cfg)
         self.encode_step = self.method.make_encode_fn(cfg, clip_cfg)
         self.eval_dist_fn = self.method.dist_fn(cfg) if self.method.dist_fn else None
         self.multi_encode_step = None
@@ -174,8 +185,15 @@ class Trainer:
         losses = []
         start = time.time()
         for batch in self.train_loader:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            batch["epoch"] = jnp.asarray(epoch, jnp.int32)
+            if self.mesh is not None:
+                from ccmh.parallel.mesh import shard_batch
+
+                batch = shard_batch(self.mesh, batch)
+                # scalars replicate (shard_batch shards leading axes only)
+                batch["epoch"] = jnp.asarray(epoch, jnp.int32)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch["epoch"] = jnp.asarray(epoch, jnp.int32)
             self.state, metrics = self.train_step(self.state, batch)
             self.global_step += 1
             losses.append(metrics["loss"])

@@ -82,3 +82,15 @@ def test_sharded_map_eval(mesh):
         sharded = float(sharded_map_eval(
             mesh, lambda *a: calc_map(*a, method="exact"), qB, rB, qL, rL))
     assert abs(single - sharded) < 1e-6
+
+
+def test_trainer_with_mesh(tmp_path):
+    """Full Trainer epoch + valid on an 8-device data-parallel mesh."""
+    from tests.test_train_e2e import make_trainer
+
+    trainer = make_trainer("DCHMT", tmp_path, mesh_shape=(8,))
+    assert trainer.mesh is not None
+    trainer.train_epoch(0)
+    maps = trainer.valid(0)
+    for v in maps:
+        assert 0.0 <= v <= 1.0
