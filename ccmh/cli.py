@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--eval-batch", type=int, default=defaults.eval_batch)
     parser.add_argument("--compute-dtype", type=str, default=defaults.compute_dtype)
     parser.add_argument("--checkpoint-every", type=int, default=defaults.checkpoint_every)
+    parser.add_argument("--resume", action="store_true", default=defaults.resume,
+                        help="auto-resume full training state from save_dir/state_ckpt")
+    parser.add_argument("--profile", action="store_true", default=defaults.profile,
+                        help="capture a jax.profiler trace of epoch 1")
     parser.add_argument("--mesh", type=str, default="1",
                         help="data-parallel mesh shape, e.g. '8'")
     parser.add_argument("--clip-arch", type=str, default="vit-b-32",
@@ -77,6 +81,7 @@ def config_from_args(argv=None) -> Config:
         lr=args.lr, clip_lr=args.clip_lr, weight_decay=args.weight_decay,
         warmup_proportion=args.warmup_proportion, eval_batch=args.eval_batch,
         compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
+        resume=args.resume, profile=args.profile,
         mesh_shape=tuple(int(x) for x in args.mesh.split(",")),
     )
     for override in args.set:

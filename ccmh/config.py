@@ -212,6 +212,7 @@ class Config:
     compute_dtype: str = "float32"        # "bfloat16" for production
     eval_batch: int = 512
     checkpoint_every: int = 0             # orbax checkpoint period (0 = off)
+    resume: bool = False                  # auto-resume from save_dir/state_ckpt
     profile: bool = False
 
     # filled in at runtime

@@ -81,8 +81,8 @@ class CrossModalDataset:
         self.resolution = resolution
         self.with_mask = with_mask
         self.tokenizer = default_tokenizer()
-        self._rng = random.Random(seed)
-        self._lock = threading.Lock()
+        self.seed = seed
+        self.epoch = 0          # bumped by BatchIterator.set_epoch
 
     def __len__(self) -> int:
         return len(self.raw.indexes)
@@ -95,8 +95,17 @@ class CrossModalDataset:
         if isinstance(caps, str):
             return caps
         caps = [c for c in np.ravel(np.asarray(caps, dtype=object))]
-        with self._lock:
-            choice = self._rng.randint(0, len(caps) - 1) if len(caps) > 1 else 0
+        if len(caps) > 1:
+            # pure function of (seed, epoch, item) — the reference's unseeded
+            # random.choice (dataset/base.py:66) varies per epoch but is not
+            # replayable; this keeps per-epoch variety AND lets a resumed run
+            # (or a rerun with the same seed) see the identical captions
+            # regardless of worker-thread scheduling.
+            mix = (int(self.seed) * 0x9E3779B1
+                   + int(self.epoch) * 0x85EBCA77 + int(i)) & 0xFFFFFFFF
+            choice = random.Random(mix).randrange(len(caps))
+        else:
+            choice = 0
         cap = caps[choice]
         if isinstance(cap, np.ndarray):
             cap = cap.item() if cap.size == 1 else str(cap)
@@ -143,7 +152,15 @@ class BatchIterator:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.drop_last = drop_last
-        self._epoch_rng = np.random.RandomState(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle to an epoch index.  Each epoch's permutation is a
+        pure function of (seed, epoch) — not iterator state — so a resumed
+        run (trainer checkpoint/resume) replays the identical data order."""
+        self._epoch = epoch
+        self.dataset.epoch = epoch      # caption sampling follows the epoch
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -159,7 +176,12 @@ class BatchIterator:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
-        order = self._epoch_rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState((self.seed * 1_000_003 + self._epoch) % (2**32))
+            order = rng.permutation(n)
+            self._epoch += 1        # plain iteration still varies per epoch
+        else:
+            order = np.arange(n)
         starts = list(range(0, n, self.batch_size))
         if self.drop_last and n % self.batch_size:
             starts = starts[:-1]
@@ -168,13 +190,18 @@ class BatchIterator:
         sentinel = object()
 
         def producer(pool):
-            for s in starts:
-                chunk = order[s : s + self.batch_size]
-                n_valid = len(chunk)
-                if n_valid < self.batch_size:  # wrap-pad to a full batch
-                    pad = order[: self.batch_size - n_valid]
-                    chunk = np.concatenate([chunk, pad])
-                queue.put(self._assemble(chunk, n_valid, pool))
+            # any worker exception is forwarded to the consumer — a dead
+            # producer must never leave the main thread blocked on the queue
+            try:
+                for s in starts:
+                    chunk = order[s : s + self.batch_size]
+                    n_valid = len(chunk)
+                    if n_valid < self.batch_size:  # wrap-pad to a full batch
+                        pad = order[: self.batch_size - n_valid]
+                        chunk = np.concatenate([chunk, pad])
+                    queue.put(self._assemble(chunk, n_valid, pool))
+            except BaseException as e:  # noqa: BLE001
+                queue.put(e)
             queue.put(sentinel)
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
@@ -184,5 +211,8 @@ class BatchIterator:
                 batch = queue.get()
                 if batch is sentinel:
                     break
+                if isinstance(batch, BaseException):
+                    thread.join()
+                    raise batch
                 yield batch
             thread.join()

@@ -52,8 +52,19 @@ def _map_chunk(
     tsum = jnp.sum(gnd, axis=1)                                   # [C]
     total = tsum if k is None else jnp.minimum(k, tsum)
 
-    # Stable sort each row by distance, carrying relevance along.
-    _, gnd_sorted = jax.lax.sort((dist, gnd), dimension=-1, num_keys=1)
+    # Stable sort each row by distance, carrying relevance along.  When
+    # (dist, index, gnd) fit in 31 bits we pack them into ONE int32 key —
+    # a single-operand sort is ~2x faster than the two-operand
+    # (key, payload) sort, and the embedded index reproduces the same
+    # deterministic stable-by-index tie order.
+    dist_bits = (q_codes.shape[1] + 1).bit_length()   # Hamming dist in [0, K]
+    idx_bits = max(n - 1, 1).bit_length()
+    if dist_fn is None and dist_bits + idx_bits + 1 <= 31:
+        idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+        packed = (dist << (idx_bits + 1)) | (idx << 1) | gnd
+        gnd_sorted = jax.lax.sort(packed, dimension=-1) & 1
+    else:
+        _, gnd_sorted = jax.lax.sort((dist, gnd), dimension=-1, num_keys=1)
     csum = jnp.cumsum(gnd_sorted, axis=1)                         # [C, N]
     positions = jnp.arange(1, n + 1, dtype=jnp.float32)
     contrib = gnd_sorted * (csum <= total[:, None])
@@ -93,15 +104,25 @@ def _map_chunk_hist(
         jnp.dot(q_labels, r_labels.T, preferred_element_type=jnp.float32) > 0
     ).astype(jnp.float32)
 
-    # per-bin counts: unrolled fused compare+reduce, no [C, N, bins] blowup
-    hist_all = []
-    hist_rel = []
-    for d in range(n_bins):
-        m = (dist == d).astype(jnp.float32)
-        hist_all.append(jnp.sum(m, axis=1))
-        hist_rel.append(jnp.sum(m * gnd, axis=1))
-    A = jnp.stack(hist_all, axis=1)                               # [C, bins]
-    R = jnp.stack(hist_rel, axis=1)
+    # per-bin counts via lax.scan over GROUPS of 8 bins: the scan bounds live
+    # [C, N] compare masks at 8 (a fully unrolled python loop keeps all
+    # n_bins masks live -> OOM at large chunk x gallery products), while the
+    # in-group unroll lets XLA fuse 8 compares per pass over `dist`.
+    GROUP = 8
+    n_groups = -(-n_bins // GROUP)
+    base = jnp.arange(n_groups, dtype=dist.dtype) * GROUP
+
+    def group_counts(_, d0):
+        a, r = [], []
+        for j in range(GROUP):
+            m = (dist == d0 + j).astype(jnp.float32)
+            a.append(jnp.sum(m, axis=1))
+            r.append(jnp.sum(m * gnd, axis=1))
+        return None, (jnp.stack(a), jnp.stack(r))                 # [GROUP, C]
+
+    _, (A_g, R_g) = jax.lax.scan(group_counts, None, base)        # [G, GROUP, C]
+    A = A_g.reshape(n_groups * GROUP, -1).T[:, :n_bins]           # [C, bins]
+    R = R_g.reshape(n_groups * GROUP, -1).T[:, :n_bins]
     L = jnp.cumsum(A, axis=1) - A
     P = jnp.cumsum(R, axis=1) - R
 
@@ -123,7 +144,7 @@ def calc_map(
     q_labels: jax.Array,
     r_labels: jax.Array,
     k: Optional[int] = None,
-    chunk: int = 512,
+    chunk: Optional[int] = None,
     method: str = "auto",
     dist_fn=None,
     n_bins: Optional[int] = None,
@@ -136,12 +157,20 @@ def calc_map(
     million-item galleries; the final division is by the *total* query
     count, zero-relevance queries included (reference parity).
 
+    ``chunk``: queries per program; default sizes the [chunk, N] working
+    set to ~256M elements (bigger chunks amortise dispatch + sort setup —
+    COCO-sized exact eval is ~1.6x faster at 2500 than at 512 — while
+    million-item galleries automatically drop to smaller chunks to bound
+    the sort buffer).
+
     ``method``: "exact" — stable sort, deterministic index tie-breaking;
     "hist" — sort-free expected-tie AP (mAP@all only, ~4x faster on large
     galleries); "auto" — hist when k is None, exact otherwise.
     """
     use_hist = (method == "hist") or (method == "auto" and k is None)
     num_query = q_codes.shape[0]
+    if chunk is None:
+        chunk = max(256, min(num_query, (1 << 28) // max(r_codes.shape[0], 1)))
     q_codes = jnp.asarray(q_codes)
     r_codes = jnp.asarray(r_codes)
     q_labels = jnp.asarray(q_labels, dtype=jnp.float32)
@@ -166,7 +195,7 @@ def calc_map_4way(
     retrieval_img: jax.Array, retrieval_txt: jax.Array,
     q_labels: jax.Array, r_labels: jax.Array,
     k: Optional[int] = None,
-    chunk: int = 512,
+    chunk: Optional[int] = None,
     method: str = "auto",
     dist_fn=None,
     n_bins: Optional[int] = None,

@@ -9,9 +9,11 @@ plus each method's train_epoch.  Differences by design:
   reference's CPU python-loop (utils/calc_utils.py:16-39);
 * codes are extracted with a jitted encode step and scattered into host
   buffers by dataset index (parity with train/base.py:130-148);
-* checkpointing saves params+opt state+step (.npz tree) every
-  ``checkpoint_every`` epochs and supports resume — the reference only
-  dumps model weights with no optimizer state (train/base.py:225-227).
+* checkpointing: weights-only .npz for --pretrained interchange (parity
+  with the reference's .pth dumps, train/base.py:225-227) PLUS orbax
+  full-state checkpoints (params, both optimizer states, aux, step, rng,
+  epoch) every ``checkpoint_every`` epochs with --resume auto-recovery —
+  the failure-recovery subsystem the reference lacks (SURVEY §5).
 """
 
 from __future__ import annotations
@@ -165,14 +167,17 @@ class Trainer:
 
     def train(self):
         self.logger.info("Start train.")
-        for epoch in range(self.cfg.epochs):
+        start_epoch = 0
+        if self.cfg.resume:
+            start_epoch = self.try_resume()
+        for epoch in range(start_epoch, self.cfg.epochs):
             self.train_epoch(epoch)
             if self.cfg.valid:
                 self.valid(epoch)
             if self.cfg.save_model:
                 self.save_checkpoint(os.path.join(self.cfg.save_dir, f"model-{epoch}.npz"))
             if self.cfg.checkpoint_every and (epoch + 1) % self.cfg.checkpoint_every == 0:
-                self.save_checkpoint(os.path.join(self.cfg.save_dir, "checkpoint.npz"))
+                self.save_full_checkpoint(epoch)
         self.logger.info(
             f">>>>>>> FINISHED >>>>>> Best epoch, I-T: {self.best_epoch_i}, "
             f"mAP: {self.max_mapi2t}, T-I: {self.best_epoch_t}, mAP: {self.max_mapt2i}")
@@ -180,6 +185,7 @@ class Trainer:
     def train_epoch(self, epoch: int):
         cfg = self.cfg
         self.logger.info(f">>>>>> epochs: {epoch}/{cfg.epochs}")
+        self.train_loader.set_epoch(epoch)  # resume-safe shuffle order
         if cfg.profile and epoch == 1:  # skip the compile-heavy first epoch
             jax.profiler.start_trace(os.path.join(cfg.save_dir, "profile"))
         losses = []
@@ -331,6 +337,37 @@ class Trainer:
         self.logger.info(f">>>>>> save best {mode_name} data!")
 
     # ------------------------------------------------------------- checkpoint
+    def save_full_checkpoint(self, epoch: int):
+        """Orbax checkpoint of the COMPLETE TrainState + epoch — the
+        failure-recovery path the reference lacks (SURVEY §5: its only
+        recovery is weight reload via --pretrained, train/base.py:225-227;
+        optimizer state and progress are lost)."""
+        from ccmh.train.checkpoint import save_state
+
+        state = self.state
+        if self.mesh is not None:
+            state = jax.tree.map(
+                lambda t: np.asarray(t) if hasattr(t, "shape") else t, state)
+        save_state(os.path.join(self.cfg.save_dir, "state_ckpt"), state, epoch)
+        self.logger.info(f"full-state checkpoint @ epoch {epoch}")
+
+    def try_resume(self) -> int:
+        """Resume from save_dir/state_ckpt if present; returns start epoch."""
+        from ccmh.train.checkpoint import latest_checkpoint, load_state
+
+        path = latest_checkpoint(self.cfg.save_dir)
+        if path is None:
+            return 0
+        state, epoch = load_state(path, self.state)
+        if self.mesh is not None:
+            from ccmh.parallel.mesh import replicate
+
+            state = replicate(self.mesh, state)
+        self.state = state
+        self.global_step = int(state.step)
+        self.logger.info(f"resumed from {path} (completed epoch {epoch})")
+        return epoch + 1
+
     def save_checkpoint(self, path: str):
         tree = {
             "params": self.state.params,
