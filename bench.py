@@ -94,6 +94,45 @@ def main():
         f"({per_iter * 1e3:.2f} ms / {B}-batch; loop {n_small}={t_small:.3f}s "
         f"{n_large}={t_large:.3f}s)")
 
+    # secondary: native C++ loader host decode throughput vs PIL
+    try:
+        import os
+        import tempfile
+
+        from PIL import Image
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ccmh.data import native
+        from ccmh.data.dataset import _to_pil, _transform
+
+        if native.available():
+            rng = np.random.RandomState(5)
+            tmp = tempfile.mkdtemp()
+            paths = []
+            for i in range(64):
+                w, h = rng.randint(300, 640), rng.randint(300, 640)
+                arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+                p = os.path.join(tmp, f"{i}.jpg")
+                Image.fromarray(arr).save(p, quality=90)
+                paths.append(p)
+            native.decode_batch(paths[:4], 224, True)
+            t0 = time.time()
+            native.decode_batch(paths, 224, True)
+            t_native = time.time() - t0
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                list(pool.map(lambda p: _transform(_to_pil(p), 224, True), paths[:4]))
+                t0 = time.time()
+                list(pool.map(lambda p: _transform(_to_pil(p), 224, True), paths))
+                t_pil = time.time() - t0
+            ncore = os.cpu_count() or 1
+            log(f"host decode (C++ loader): {len(paths)/t_native:,.0f} images/s "
+                f"on {ncore} core(s) vs PIL-threadpool {len(paths)/t_pil:,.0f} "
+                f"({t_pil/t_native:.2f}x)")
+        else:
+            log("host decode: native loader unavailable (PIL path active)")
+    except Exception as e:  # noqa: BLE001
+        log(f"host decode bench failed: {e}")
+
     # secondary: 1M-item synthetic gallery Hamming ranking (BASELINE.md)
     try:
         from ccmh.ops.hamming import hamming_distance, hamming_distance_packed

@@ -111,16 +111,39 @@ class CrossModalDataset:
             cap = cap.item() if cap.size == 1 else str(cap)
         return str(cap)
 
-    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        image = _transform(_to_pil(self.raw.indexes[i]), self.resolution, self.is_train)
+    def image_path(self, i: int) -> Optional[str]:
+        """Filesystem path of item i's image if it is a decodable-by-the-
+        native-loader JPEG path; None for in-memory arrays / other formats."""
+        src = self.raw.indexes[i]
+        if isinstance(src, np.ndarray):
+            if src.ndim >= 2:
+                return None
+            src = src.item() if src.size == 1 else src[0]
+        if not isinstance(src, (str, bytes)):
+            return None
+        path = str(src).strip()
+        return path if path.lower().endswith((".jpg", ".jpeg")) else None
+
+    def load_image(self, i: int) -> np.ndarray:
+        return _transform(
+            _to_pil(self.raw.indexes[i]), self.resolution, self.is_train
+        ).astype(np.float32)
+
+    def meta_item(self, i: int) -> Dict[str, np.ndarray]:
+        """Everything except the decoded image (used by the native batch
+        loader path, which fills images separately)."""
         ids = np.asarray(
             self.tokenizer.encode_padded(self._caption(i), self.max_words), np.int32
         )
         label = np.asarray(self.raw.labels[i], np.float32).ravel()
-        item = {"image": image.astype(np.float32), "text": ids, "label": label,
-                "index": np.int32(i)}
+        item = {"text": ids, "label": label, "index": np.int32(i)}
         if self.with_mask:
             item["key_padding_mask"] = ids == 0
+        return item
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        item = self.meta_item(i)
+        item["image"] = self.load_image(i)
         return item
 
 
@@ -167,12 +190,34 @@ class BatchIterator:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _assemble(self, idx_batch: np.ndarray, n_valid: int, pool) -> Dict[str, np.ndarray]:
-        items = list(pool.map(self.dataset.__getitem__, idx_batch))
-        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        images = self._native_images(idx_batch, pool)
+        if images is not None:
+            items = list(pool.map(self.dataset.meta_item, idx_batch))
+            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            batch["image"] = images
+        else:
+            items = list(pool.map(self.dataset.__getitem__, idx_batch))
+            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
         valid = np.zeros(len(idx_batch), bool)
         valid[:n_valid] = True
         batch["valid"] = valid
         return batch
+
+    def _native_images(self, idx_batch: np.ndarray, pool) -> Optional[np.ndarray]:
+        """Decode the batch's images with the C++ loader (GIL-free, one call
+        per batch, kernel-thread parallel) when every source is a JPEG path;
+        items the loader rejects fall back to PIL individually."""
+        from ccmh.data import native
+
+        paths = [self.dataset.image_path(int(i)) for i in idx_batch]
+        if any(p is None for p in paths) or not native.available():
+            return None
+        images, ok = native.decode_batch(
+            paths, self.dataset.resolution, self.dataset.is_train)
+        if not ok.all():
+            for j in np.nonzero(~ok)[0]:
+                images[j] = self.dataset.load_image(int(idx_batch[j]))
+        return images
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)

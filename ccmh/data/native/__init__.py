@@ -1,0 +1,98 @@
+"""ctypes binding for the native C++ batch image loader.
+
+Builds ``loader.cpp`` with g++ on first use (cached next to the source;
+rebuilt when the source changes) and exposes :func:`decode_batch`.  If the
+toolchain or libjpeg is unavailable, ``available()`` returns False and the
+data pipeline silently stays on the PIL path — the loader is a throughput
+optimisation, not a dependency.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "loader.cpp")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    with open(_SRC, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    so_path = os.path.join(_DIR, f"_loader_{digest}.so")
+    if not os.path.exists(so_path):
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-pthread",
+            _SRC, "-o", so_path + ".tmp", "-ljpeg",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            return None
+        os.replace(so_path + ".tmp", so_path)
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+    lib.ccmh_batch_load.restype = ctypes.c_int
+    lib.ccmh_batch_load.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    return lib
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        with _LOCK:
+            if _LIB is None and not _TRIED:
+                _LIB = _build()
+                _TRIED = True
+    return _LIB
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def decode_batch(
+    paths: Sequence[str],
+    resolution: int,
+    is_train: bool,
+    n_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode ``paths`` into [N, R, R, 3] float32 (CLIP-normalized NHWC).
+
+    Returns ``(images, ok)`` where ``ok[i]`` is False for items the native
+    loader could not handle (non-JPEG, unreadable) — the caller decodes
+    those via the PIL fallback.  The call releases the GIL for its entire
+    duration (ctypes does this automatically), so prefetch threads keep
+    tokenizing while the loader runs.
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    n = len(paths)
+    out = np.empty((n, resolution, resolution, 3), np.float32)
+    ok = np.zeros(n, np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads <= 0:
+        n_threads = min(n, os.cpu_count() or 8)
+    lib.ccmh_batch_load(
+        c_paths, n, resolution, int(is_train),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads,
+    )
+    return out, ok.astype(bool)

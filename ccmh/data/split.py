@@ -41,6 +41,9 @@ def load_raw(caption_file: str, index_file: str, label_file: str, npy: bool = Fa
         indexes = np.load(index_file, allow_pickle=True)
     else:
         indexes = scio.loadmat(index_file)["index"]
+        if indexes.ndim > 1 and 1 in indexes.shape:
+            # savemat round-trips 1-D cell/str arrays as (1, N) or (N, 1)
+            indexes = indexes.ravel()
     labels = scio.loadmat(label_file)["category"]
     return RawData(captions, indexes, labels)
 

@@ -51,11 +51,30 @@ def write_synthetic_mat_dataset(
     n_class: int = 8,
     resolution: int = 32,
     seed: int = 0,
+    jpeg: bool = False,
 ) -> str:
-    """Write index.npy (npy image mode) + caption.mat + label.mat."""
+    """Write index.npy (npy image mode) + caption.mat + label.mat.
+
+    ``jpeg=True`` instead writes the images as .jpg files and an index.mat
+    of their paths — the reference's real dataset layout
+    (dataset/dataloader.py:46-48), which also exercises the native C++
+    batch loader in end-to-end runs.
+    """
     os.makedirs(out_dir, exist_ok=True)
     raw = synthetic_arrays(n, n_class, resolution, seed=seed)
-    np.save(os.path.join(out_dir, "index.npy"), raw.indexes)
+    if jpeg:
+        from PIL import Image
+
+        img_dir = os.path.join(out_dir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        paths = np.empty(n, dtype=object)
+        for i in range(n):
+            p = os.path.join(img_dir, f"{i:06d}.jpg")
+            Image.fromarray(raw.indexes[i]).save(p, quality=92)
+            paths[i] = p
+        scio.savemat(os.path.join(out_dir, "index.mat"), {"index": paths})
+    else:
+        np.save(os.path.join(out_dir, "index.npy"), raw.indexes)
     caption_cells = np.empty((1, n), dtype=object)
     for i in range(n):
         caption_cells[0, i] = np.asarray(raw.captions[i], dtype=object)

@@ -118,7 +118,7 @@ def fused_attention(
     qkv: jax.Array,                  # [B, L, 3D] packed q|k|v (post qkv matmul)
     bias: Optional[jax.Array],       # [L, L] additive fp32 mask or None
     n_head: int,
-    block_b: int = 8,
+    block_b: int = 16,               # batch elems per program (16 best on v5e)
 ) -> jax.Array:                      # [B, L, D] heads concatenated
     return _pallas_forward(qkv, bias, n_head, block_b)
 
