@@ -133,29 +133,40 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"host decode bench failed: {e}")
 
-    # secondary: 1M-item synthetic gallery Hamming ranking (BASELINE.md)
+    # secondary: 1M-item synthetic gallery Hamming ranking at all three
+    # supported code widths (BASELINE.md: 1M gallery x {16,32,64} bits)
     try:
         from ccmh.ops.hamming import hamming_distance, hamming_distance_packed
         from ccmh.ops.packing import pack_codes
 
         rng = np.random.RandomState(7)
-        n_gal, q_n, k = 1_000_000, 512, 64
-        qB = jnp.asarray((rng.randint(0, 2, (q_n, k)) * 2 - 1).astype(np.int8))
-        rB = jnp.asarray((rng.randint(0, 2, (n_gal, k)) * 2 - 1).astype(np.int8))
-        qP, rP = pack_codes(qB), pack_codes(rB)
+        n_gal, q_n = 1_000_000, 512
+        for k in (16, 32, 64):
+            qB = jnp.asarray((rng.randint(0, 2, (q_n, k)) * 2 - 1).astype(np.int8))
+            rB = jnp.asarray((rng.randint(0, 2, (n_gal, k)) * 2 - 1).astype(np.int8))
+            qP, rP = pack_codes(qB), pack_codes(rB)
 
-        f_dense = jax.jit(lambda a, b: jnp.min(hamming_distance(a, b), axis=1))
-        f_pack = jax.jit(lambda a, b: jnp.min(hamming_distance_packed(a, b), axis=1))
-        for name, f, a, b in (("int8-MXU", f_dense, qB, rB),
-                              ("pallas-popcount", f_pack, qP, rP)):
-            jax.block_until_ready(f(a, b))
-            t0 = time.time()
-            for _ in range(3):
-                out = f(a, b)
-            jax.block_until_ready(out)
-            dt = (time.time() - t0) / 3
-            log(f"1M-gallery Hamming ranking [{name}]: {dt * 1e3:.1f} ms "
-                f"for {q_n} queries -> {q_n / dt:,.0f} queries/s")
+            f_dense = jax.jit(lambda a, b: jnp.min(hamming_distance(a, b), axis=1))
+            f_pack = jax.jit(lambda a, b: jnp.min(hamming_distance_packed(a, b), axis=1))
+            for name, f, a, b in (("int8-MXU", f_dense, qB, rB),
+                                  ("pallas-popcount", f_pack, qP, rP)):
+                jax.block_until_ready(f(a, b))
+                t0 = time.time()
+                for _ in range(3):
+                    out = f(a, b)
+                jax.block_until_ready(out)
+                dt = (time.time() - t0) / 3
+                log(f"1M-gallery Hamming ranking [K={k}, {name}]: {dt * 1e3:.1f} ms "
+                    f"for {q_n} queries -> {q_n / dt:,.0f} queries/s")
+
+        # full expected-tie mAP at the 1M scale (64-bit, 512 queries)
+        qL = jnp.asarray((rng.rand(q_n, 80) < 0.1).astype(np.float32))
+        rL = jnp.asarray((rng.rand(n_gal, 80) < 0.1).astype(np.float32))
+        v = float(calc_map(qB, rB, qL, rL, method="hist"))
+        t0 = time.time()
+        v = float(calc_map(qB, rB, qL, rL, method="hist"))
+        log(f"1M-gallery mAP (K=64, {q_n} queries, hist): "
+            f"{time.time() - t0:.3f}s (mAP={v:.4f})")
     except Exception as e:  # noqa: BLE001
         log(f"1M-gallery bench failed: {e}")
 

@@ -124,42 +124,50 @@ FilterTable make_filter(int in_size, int out_size) {
   return t;
 }
 
-// Separable resize of interleaved RGB float data.
+// Separable resize, planar per channel: contiguous inner loops the
+// compiler can vectorise (the interleaved-RGB formulation is ~1.7x
+// slower).  src is interleaved RGB; dst is interleaved RGB.
 void resize_rgb(const float* src, int sw, int sh, float* dst, int dw, int dh) {
   FilterTable fh = make_filter(sw, dw);
   FilterTable fv = make_filter(sh, dh);
-  std::vector<float> tmp(static_cast<size_t>(sh) * dw * 3);
-  for (int y = 0; y < sh; ++y) {
-    const float* srow = src + static_cast<size_t>(y) * sw * 3;
-    float* trow = tmp.data() + static_cast<size_t>(y) * dw * 3;
-    for (int x = 0; x < dw; ++x) {
-      const int xmin = fh.bounds[x * 2], xmax = fh.bounds[x * 2 + 1];
-      const float* k = &fh.coeffs[static_cast<size_t>(x) * fh.ksize];
-      float acc[3] = {0, 0, 0};
-      for (int i = 0; i < xmax; ++i) {
-        const float* p = srow + static_cast<size_t>(xmin + i) * 3;
-        acc[0] += p[0] * k[i];
-        acc[1] += p[1] * k[i];
-        acc[2] += p[2] * k[i];
+  std::vector<float> plane(static_cast<size_t>(sw) * sh);
+  std::vector<float> tmp(static_cast<size_t>(sh) * dw);
+  std::vector<float> out_plane(static_cast<size_t>(dh) * dw);
+  for (int c = 0; c < 3; ++c) {
+    // deinterleave one channel
+    const size_t npx = static_cast<size_t>(sw) * sh;
+    for (size_t i = 0; i < npx; ++i) plane[i] = src[i * 3 + c];
+    // horizontal pass (PIL stores it as uint8/clip8, rounds half UP: clamp
+    // + round the intermediate, else bicubic overshoot on high-contrast
+    // data diverges)
+    for (int y = 0; y < sh; ++y) {
+      const float* srow = plane.data() + static_cast<size_t>(y) * sw;
+      float* trow = tmp.data() + static_cast<size_t>(y) * dw;
+      for (int x = 0; x < dw; ++x) {
+        const int xmin = fh.bounds[x * 2], xmax = fh.bounds[x * 2 + 1];
+        const float* k = &fh.coeffs[static_cast<size_t>(x) * fh.ksize];
+        const float* p = srow + xmin;
+        float acc = 0.0f;
+        for (int i = 0; i < xmax; ++i) acc += p[i] * k[i];
+        trow[x] = static_cast<float>(static_cast<int>(
+            std::min(std::max(acc, 0.0f), 255.0f) + 0.5f));
       }
-      // PIL stores the horizontal pass as uint8 (clip8, rounds half UP):
-      // clamp + round the intermediate, else bicubic overshoot on
-      // high-contrast data diverges
-      for (int c = 0; c < 3; ++c)
-        trow[x * 3 + c] = static_cast<float>(static_cast<int>(
-            std::min(std::max(acc[c], 0.0f), 255.0f) + 0.5f));
     }
-  }
-  for (int y = 0; y < dh; ++y) {
-    const int ymin = fv.bounds[y * 2], ymax = fv.bounds[y * 2 + 1];
-    const float* k = &fv.coeffs[static_cast<size_t>(y) * fv.ksize];
-    float* drow = dst + static_cast<size_t>(y) * dw * 3;
-    for (int x = 0; x < dw * 3; ++x) {
-      float acc = 0.0f;
-      for (int i = 0; i < ymax; ++i)
-        acc += tmp[static_cast<size_t>(ymin + i) * dw * 3 + x] * k[i];
-      drow[x] = acc;
+    // vertical pass: accumulate rows (contiguous, vectorises over x)
+    for (int y = 0; y < dh; ++y) {
+      const int ymin = fv.bounds[y * 2], ymax = fv.bounds[y * 2 + 1];
+      const float* k = &fv.coeffs[static_cast<size_t>(y) * fv.ksize];
+      float* drow = out_plane.data() + static_cast<size_t>(y) * dw;
+      std::memset(drow, 0, sizeof(float) * dw);
+      for (int i = 0; i < ymax; ++i) {
+        const float ki = k[i];
+        const float* trow = tmp.data() + static_cast<size_t>(ymin + i) * dw;
+        for (int x = 0; x < dw; ++x) drow[x] += trow[x] * ki;
+      }
     }
+    // reinterleave
+    const size_t dpx = static_cast<size_t>(dw) * dh;
+    for (size_t i = 0; i < dpx; ++i) dst[i * 3 + c] = out_plane[i];
   }
 }
 

@@ -94,3 +94,20 @@ def test_trainer_with_mesh(tmp_path):
     maps = trainer.valid(0)
     for v in maps:
         assert 0.0 <= v <= 1.0
+
+
+def test_multihost_helpers_single_process():
+    """initialize_multihost is a no-op single-host; shard_host_batch
+    produces mesh-spanning arrays from process-local data."""
+    import numpy as np
+    import jax
+    from ccmh.parallel.mesh import initialize_multihost, make_mesh, shard_host_batch
+
+    assert initialize_multihost() == 1
+    mesh = make_mesh(8)
+    batch = {"image": np.ones((16, 4, 4, 3), np.float32),
+             "epoch": np.int32(3)}
+    out = shard_host_batch(mesh, batch)
+    assert out["image"].shape == (16, 4, 4, 3)
+    assert len(out["image"].sharding.device_set) == 8
+    assert int(out["epoch"]) == 3
