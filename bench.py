@@ -94,6 +94,52 @@ def main():
         f"({per_iter * 1e3:.2f} ms / {B}-batch; loop {n_small}={t_small:.3f}s "
         f"{n_large}={t_large:.3f}s)")
 
+    # secondary: full training-step throughput (DSPH, ViT-B/32, bf16 towers)
+    try:
+        from ccmh.config import Config
+        from ccmh.train.methods import get_method
+        from ccmh.train.state import init_state, make_main_optimizer, make_train_step
+
+        t_cfg = Config(method="DSPH", output_dim=64, nclass=80, batch_size=B,
+                       epochs=1, compute_dtype="bfloat16")
+        method = get_method("DSPH")
+        mkey = jax.random.PRNGKey(3)
+        heads, extra, aux = method.init(mkey, t_cfg, cfg)
+        t_params = {"clip": init_clip_params(mkey, cfg), **heads}
+        tx = make_main_optimizer(t_cfg, t_params, steps_per_epoch=100)
+        extra_tx = method.extra_tx(t_cfg) if method.extra_tx else None
+        state = init_state(jax.random.fold_in(mkey, 9), t_params, extra, aux,
+                           tx, extra_tx)
+        raw_step = make_train_step(method.make_loss_fn(t_cfg, cfg), tx,
+                                   extra_tx, t_cfg, cfg, jit=False)
+        labels = jnp.asarray(
+            (np.random.RandomState(4).rand(B, 80) < 0.1).astype(np.float32))
+        t_batch = {"image": images, "text": ids, "label": labels,
+                   "index": jnp.arange(B, dtype=jnp.int32)}
+
+        @jax.jit
+        def run_steps(state, batch, n):
+            def body(_, s):
+                s2, _ = raw_step(s, batch)
+                return s2
+            return jax.lax.fori_loop(0, n, body, state)
+
+        jax.block_until_ready(run_steps(state, t_batch, 2))
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            jax.block_until_ready(run_steps(state, t_batch, 2))
+            ts = time.time() - t0
+            t0 = time.time()
+            jax.block_until_ready(run_steps(state, t_batch, 8))
+            tl = time.time() - t0
+            per = (tl - ts) / 6
+            best = per if best is None else min(best, per)
+        log(f"train step (DSPH, B={B}, bf16 towers + BertAdam): "
+            f"{best * 1e3:.1f} ms -> {B / best:,.0f} samples/s/chip")
+    except Exception as e:  # noqa: BLE001
+        log(f"train-step bench failed: {e}")
+
     # secondary: native C++ loader host decode throughput vs PIL
     try:
         import os

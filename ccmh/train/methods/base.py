@@ -86,8 +86,8 @@ def make_linear_hash_method(
         aux = init_aux(cfg, clip_cfg) if init_aux else {}
         return heads, extra, aux
 
-    def _hashes(params, batch, clip_cfg, rng=None, train=False):
-        img, txt = clip_embeds(params, clip_cfg, batch)
+    def _hashes(params, batch, clip_cfg, cfg, rng=None, train=False):
+        img, txt = clip_embeds(params, clip_cfg, batch, cfg)
         r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
         hi = linear_hash(params["img_head"], img.pooled, train=train, rng=r1)
         ht = linear_hash(params["txt_head"], txt.pooled, train=train, rng=r2)
@@ -95,7 +95,7 @@ def make_linear_hash_method(
 
     def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
         rng, body_rng = jax.random.split(rng)
-        hi, ht = _hashes(params, batch, clip_cfg, rng, train=True)
+        hi, ht = _hashes(params, batch, clip_cfg, cfg, rng, train=True)
         out = loss_body(hi, ht, batch["label"], extra, aux, body_rng, cfg)
         loss, rest = out
         if isinstance(rest, tuple):
@@ -105,20 +105,53 @@ def make_linear_hash_method(
         return loss, (new_aux, metrics)
 
     def _encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig):
-        hi, ht = _hashes(params, batch, clip_cfg)
+        hi, ht = _hashes(params, batch, clip_cfg, cfg)
         return sign_codes(hi), sign_codes(ht)
 
     return Method(name=name, init=_init, loss=_loss, encode=_encode, extra_tx=extra_tx)
 
 
+def resolve_compute_dtype(cfg: Optional[Config]):
+    """The tower compute dtype for a run: ``--compute-dtype bfloat16`` runs
+    both CLIP towers in bf16 (fp32 LayerNorm/softmax inside, fp32 embeds
+    out); ``float32`` is the default.  Unknown values raise instead of
+    silently running fp32 (fp16 is a GPU format — TPUs use bf16)."""
+    if cfg is None:
+        return jnp.float32
+    name = str(cfg.compute_dtype)
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if name in ("float32", "fp32", "f32"):
+        return jnp.float32
+    raise ValueError(
+        f"unsupported compute_dtype {name!r}; use 'float32' or 'bfloat16'")
+
+
+def _cast_floats_f32(out):
+    return type(out)(*[
+        t.astype(jnp.float32)
+        if (t is not None and jnp.issubdtype(t.dtype, jnp.floating)) else t
+        for t in out
+    ])
+
+
 def clip_embeds(
     params: Params, clip_cfg: ClipConfig, batch: Dict[str, jax.Array],
-    *, features: str = "pooled", dtype=jnp.float32,
+    cfg: Optional[Config] = None,
+    *, features: str = "pooled", dtype=None,
 ):
-    """Shared forward through both towers (model/modelbase.py:69-96)."""
+    """Shared forward through both towers (model/modelbase.py:69-96).
+
+    ``dtype`` defaults to the run's ``cfg.compute_dtype``; under bf16 the
+    towers run in bf16 and every floating output is cast back to fp32 so
+    heads and losses keep reference numerics."""
+    if dtype is None:
+        dtype = resolve_compute_dtype(cfg)
     img = vision_forward(params["clip"]["visual"], clip_cfg, batch["image"],
                          dtype=dtype, features=features)
     txt = text_forward(params["clip"]["text"], clip_cfg, batch["text"],
                        dtype=dtype, features=features,
                        key_padding_mask=batch.get("key_padding_mask"))
+    if dtype != jnp.float32:
+        img, txt = _cast_floats_f32(img), _cast_floats_f32(txt)
     return img, txt

@@ -37,7 +37,7 @@ def _init(rng: jax.Array, cfg: Config, clip_cfg: ClipConfig):
 
 
 def _hashes(params, batch, cfg: Config, clip_cfg: ClipConfig, rng=None, train=False):
-    img, txt = clip_embeds(params, clip_cfg, batch)
+    img, txt = clip_embeds(params, clip_cfg, batch, cfg)
     if cfg.dchmt.hash_layer == "select":
         hi = select_hash(params["img_head"], img.pooled)
         ht = select_hash(params["txt_head"], txt.pooled)

@@ -30,8 +30,8 @@ def _init(rng, cfg: Config, clip_cfg: ClipConfig):
     return heads, extra, {}
 
 
-def _forward(params, batch, clip_cfg, rng=None, train=False):
-    img, txt = clip_embeds(params, clip_cfg, batch)
+def _forward(params, batch, clip_cfg, cfg, rng=None, train=False):
+    img, txt = clip_embeds(params, clip_cfg, batch, cfg)
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
     hi = linear_hash(params["img_head"], img.pooled, train=train, rng=r1)
     ht = linear_hash(params["txt_head"], txt.pooled, train=train, rng=r2)
@@ -42,7 +42,7 @@ def _forward(params, batch, clip_cfg, rng=None, train=False):
 
 def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
     rng, noise_rng = jax.random.split(rng)
-    hi, ht, pi, pt = _forward(params, batch, clip_cfg, rng, train=True)
+    hi, ht, pi, pt = _forward(params, batch, clip_cfg, cfg, rng, train=True)
     label = batch["label"]
     proxy = dnph_proxy_loss(hi, ht, pi, pt, label, label, extra["proxies"])
     noise = noise_regularizer(noise_rng, hi, ht)
@@ -51,7 +51,7 @@ def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
 
 
 def _encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig):
-    hi, ht, _, _ = _forward(params, batch, clip_cfg)
+    hi, ht, _, _ = _forward(params, batch, clip_cfg, cfg)
     return sign_codes(hi), sign_codes(ht)
 
 

@@ -33,7 +33,7 @@ def _init(rng, cfg: Config, clip_cfg: ClipConfig):
 
 
 def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
-    img, txt = clip_embeds(params, clip_cfg, batch)
+    img, txt = clip_embeds(params, clip_cfg, batch, cfg)
     mcfg = cfg.dpbe
     loss, h_i, h_t = dpbe_sampled_loss(
         rng, img.pooled, txt.pooled, batch["label"],
@@ -53,7 +53,7 @@ def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
 
 
 def _encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig):
-    img, txt = clip_embeds(params, clip_cfg, batch)
+    img, txt = clip_embeds(params, clip_cfg, batch, cfg)
     # deterministic eval sampling (the reference draws from the global torch
     # rng once per valid pass, hash_train.py:195-197)
     rng = jax.random.PRNGKey(cfg.seed)

@@ -39,8 +39,8 @@ def _init(rng, cfg: Config, clip_cfg: ClipConfig):
     return heads, None, {}
 
 
-def _forward(params, batch, clip_cfg, rng=None, train=False):
-    img, txt = clip_embeds(params, clip_cfg, batch, features="tokens")
+def _forward(params, batch, clip_cfg, cfg, rng=None, train=False):
+    img, txt = clip_embeds(params, clip_cfg, batch, cfg, features="tokens")
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
     hi = linear_hash(params["img_head"], img.pooled, train=train, rng=r1)
     ht = linear_hash(params["txt_head"], txt.pooled, train=train, rng=r2)
@@ -50,7 +50,7 @@ def _forward(params, batch, clip_cfg, rng=None, train=False):
 
 
 def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
-    ei, et, ri, rt = _forward(params, batch, clip_cfg, rng, train=True)
+    ei, et, ri, rt = _forward(params, batch, clip_cfg, cfg, rng, train=True)
     loss, metrics = dpsih_loss(ei, et, ri, rt, batch["label"], cfg.dpsih,
                                num_embeds=NUM_EMBEDS)
     return loss, (aux, metrics)
@@ -58,7 +58,7 @@ def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
 
 def _encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig):
     """±1 multi-embed codes flattened to [B, E*K] (dist_fn un-flattens)."""
-    ei, et, _, _ = _forward(params, batch, clip_cfg)
+    ei, et, _, _ = _forward(params, batch, clip_cfg, cfg)
     b = ei.shape[0]
     return (sign_codes(ei).reshape(b, -1), sign_codes(et).reshape(b, -1))
 

@@ -29,8 +29,8 @@ def _init(rng, cfg: Config, clip_cfg: ClipConfig):
     return heads, None, {}
 
 
-def _hashes(params, batch, clip_cfg, rng=None, train=False):
-    img, txt = clip_embeds(params, clip_cfg, batch)
+def _hashes(params, batch, clip_cfg, cfg, rng=None, train=False):
+    img, txt = clip_embeds(params, clip_cfg, batch, cfg)
     r1, r2 = (jax.random.split(rng) if rng is not None else (None, None))
     hi = linear_hash(params["img_head"], img.pooled, train=train, rng=r1)
     ht = linear_hash(params["txt_head"], txt.pooled, train=train, rng=r2)
@@ -38,13 +38,13 @@ def _hashes(params, batch, clip_cfg, rng=None, train=False):
 
 
 def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
-    hi, ht = _hashes(params, batch, clip_cfg, rng, train=True)
+    hi, ht = _hashes(params, batch, clip_cfg, cfg, rng, train=True)
     loss, metrics = dscph_loss(hi, ht, batch["label"], params["loss_heads"], cfg.dscph)
     return loss, (aux, metrics)
 
 
 def _encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig):
-    hi, ht = _hashes(params, batch, clip_cfg)
+    hi, ht = _hashes(params, batch, clip_cfg, cfg)
     return sign_codes(hi), sign_codes(ht)
 
 

@@ -38,8 +38,8 @@ def _init(rng, cfg: Config, clip_cfg: ClipConfig):
     return heads, None, aux
 
 
-def _forward(params, batch, clip_cfg, top_k=8):
-    img, txt = clip_embeds(params, clip_cfg, batch, features="mith")
+def _forward(params, batch, clip_cfg, cfg, top_k=8):
+    img, txt = clip_embeds(params, clip_cfg, batch, cfg, features="mith")
     return hashing_model(
         params["hash"],
         img.tokens_proj[:, 1:, :],     # patch tokens (cls excluded)
@@ -52,7 +52,7 @@ def _forward(params, batch, clip_cfg, top_k=8):
 
 
 def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
-    out = _forward(params, batch, clip_cfg, cfg.mith.top_k_label)
+    out = _forward(params, batch, clip_cfg, cfg, cfg.mith.top_k_label)
     label_sim = calc_neighbor(aux["train_labels"], batch["label"])
     loss, metrics = mith_loss(out, label_sim, aux["buffers"], cfg.mith, cfg.output_dim)
 
@@ -71,7 +71,7 @@ def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
 
 def _encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig):
     """sign(tokens_hash + cls_hash) (train/base.py:180-203 get_code_MITH)."""
-    out = _forward(params, batch, clip_cfg, cfg.mith.top_k_label)
+    out = _forward(params, batch, clip_cfg, cfg, cfg.mith.top_k_label)
     return (sign_codes(out.img_tokens_hash + out.img_cls_hash),
             sign_codes(out.txt_tokens_hash + out.txt_cls_hash))
 

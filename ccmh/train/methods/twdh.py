@@ -39,8 +39,8 @@ def _init(rng, cfg: Config, clip_cfg: ClipConfig):
     return heads, None, aux
 
 
-def _forward(params, aux, batch, clip_cfg, train=False):
-    img, txt = clip_embeds(params, clip_cfg, batch)
+def _forward(params, aux, batch, clip_cfg, cfg, train=False):
+    img, txt = clip_embeds(params, clip_cfg, batch, cfg)
     img_long, new_bn = modality_hash(params["img_head"], img.pooled,
                                      train=train, bn_state=aux["bn"])
     txt_long, _ = modality_hash(params["txt_head"], txt.pooled, train=train)
@@ -52,7 +52,7 @@ def _forward(params, aux, batch, clip_cfg, train=False):
 
 def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
     img_long, txt_long, img_short, txt_short, new_bn = _forward(
-        params, aux, batch, clip_cfg, train=True)
+        params, aux, batch, clip_cfg, cfg, train=True)
     loss, metrics = twdh_loss(
         rng, img_long, txt_long, img_short, txt_short, batch["label"],
         aux["assets"], quan_alpha=0.5, low_rate=cfg.twdh.low_rate)
@@ -62,13 +62,13 @@ def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
 
 
 def _encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig):
-    img_long, txt_long, _, _, _ = _forward(params, aux, batch, clip_cfg)
+    img_long, txt_long, _, _, _ = _forward(params, aux, batch, clip_cfg, cfg)
     return pair_code(img_long), pair_code(txt_long)
 
 
 def _multi_encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig) -> Dict:
     """Long + every short code length (train/TwDH/hash_train.py:179-217)."""
-    img_long, txt_long, img_short, txt_short, _ = _forward(params, aux, batch, clip_cfg)
+    img_long, txt_long, img_short, txt_short, _ = _forward(params, aux, batch, clip_cfg, cfg)
     out = {"long": (pair_code(img_long), pair_code(txt_long))}
     for k in img_short:
         out[f"short{k}"] = (pair_code(img_short[k]), pair_code(txt_short[k]))

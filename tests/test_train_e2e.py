@@ -181,3 +181,22 @@ def test_full_state_checkpoint_none_extra(tmp_path):
     for x, y in zip(jax.tree.leaves(t.state.params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_bf16_compute_dtype(tmp_path):
+    """--compute-dtype bfloat16 runs the towers in bf16 (embeds come back
+    fp32 for heads/losses); a step trains and encodes finitely, and the
+    loss tracks the fp32 run closely on identical data."""
+    import jax.numpy as jnp
+
+    t32 = make_trainer("DSPH", tmp_path / "f32")
+    tbf = make_trainer("DSPH", tmp_path / "bf16", compute_dtype="bfloat16")
+    losses = {}
+    for name, t in (("f32", t32), ("bf16", tbf)):
+        batch = next(iter(t.train_loader))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        t.state, metrics = t.train_step(t.state, jb)
+        losses[name] = float(metrics["loss"])
+        assert np.isfinite(losses[name])
+    # same data, same init: bf16 loss within 1% of fp32
+    assert abs(losses["bf16"] - losses["f32"]) / abs(losses["f32"]) < 0.01, losses
