@@ -21,12 +21,32 @@ from ccmh.clip.model import ClipConfig, Params
 
 
 def _infer_config(sd: Dict[str, Any]) -> ClipConfig:
-    """Shape-driven architecture inference (model/base/model.py:415-438)."""
+    """Shape-driven architecture inference (model/base/model.py:415-438);
+    RN-family checkpoints (no ``visual.proj``) select the ModifiedResNet
+    tower exactly like the reference's build_model else-branch."""
+    text = dict(
+        embed_dim=sd["text_projection"].shape[1],
+        context_length=sd["positional_embedding"].shape[0],
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        transformer_width=sd["ln_final.weight"].shape[0],
+        transformer_heads=sd["ln_final.weight"].shape[0] // 64,
+        transformer_layers=len(
+            set(k.split(".")[2] for k in sd if k.startswith("transformer.resblocks"))
+        ),
+    )
     if "visual.proj" not in sd:
-        raise NotImplementedError(
-            "Only the ViT vision tower is supported; the reference's "
-            "ModifiedResNet path (model/base/model.py:93-150) is unused by "
-            "all 14 methods (every trainer loads ViT-B-32, argsbase.py:16)."
+        counts = tuple(
+            len(set(k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}")))
+            for b in (1, 2, 3, 4)
+        )
+        output_width = round(
+            (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+        return ClipConfig(
+            image_resolution=output_width * 32,
+            vision_layers=counts,
+            vision_width=sd["visual.layer1.0.conv1.weight"].shape[0],
+            vision_patch_size=None,
+            **text,
         )
     vision_width = sd["visual.conv1.weight"].shape[0]
     vision_layers = len(
@@ -35,18 +55,11 @@ def _infer_config(sd: Dict[str, Any]) -> ClipConfig:
     vision_patch_size = sd["visual.conv1.weight"].shape[-1]
     grid_size = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
     return ClipConfig(
-        embed_dim=sd["text_projection"].shape[1],
         image_resolution=vision_patch_size * grid_size,
         vision_layers=vision_layers,
         vision_width=vision_width,
         vision_patch_size=vision_patch_size,
-        context_length=sd["positional_embedding"].shape[0],
-        vocab_size=sd["token_embedding.weight"].shape[0],
-        transformer_width=sd["ln_final.weight"].shape[0],
-        transformer_heads=sd["ln_final.weight"].shape[0] // 64,
-        transformer_layers=len(
-            set(k.split(".")[2] for k in sd if k.startswith("transformer.resblocks"))
-        ),
+        **text,
     )
 
 
@@ -87,6 +100,15 @@ def _convert_blocks(sd: Dict[str, Any], prefix: str, n_layers: int) -> Params:
 def convert_state_dict(sd: Dict[str, Any]) -> Tuple[Params, ClipConfig]:
     """torch CLIP state_dict -> (ccmh params, inferred config)."""
     cfg = _infer_config(sd)
+    if cfg.is_resnet:
+        from ccmh.clip.resnet import convert_resnet_visual
+
+        visual = convert_resnet_visual(sd, cfg.vision_layers)
+        return {
+            "visual": visual,
+            "text": _convert_text(sd, cfg),
+            "logit_scale": jnp.asarray(_to_np(sd["logit_scale"])),
+        }, cfg
     conv = _to_np(sd["visual.conv1.weight"])               # [W, 3, P, P]
     # [W, C, Ph, Pw] -> [Ph, Pw, C, W] -> [(ph, pw, c), W]: matches the
     # (ph, pw, channel) patch flattening order of model.patchify.
@@ -108,19 +130,23 @@ def convert_state_dict(sd: Dict[str, Any]) -> Tuple[Params, ClipConfig]:
             },
             "proj": jnp.asarray(_to_np(sd["visual.proj"])),
         },
-        "text": {
-            "token_embedding": jnp.asarray(_to_np(sd["token_embedding.weight"])),
-            "positional_embedding": jnp.asarray(_to_np(sd["positional_embedding"])),
-            "blocks": _convert_blocks(sd, "transformer", cfg.transformer_layers),
-            "ln_final": {
-                "scale": jnp.asarray(_to_np(sd["ln_final.weight"])),
-                "bias": jnp.asarray(_to_np(sd["ln_final.bias"])),
-            },
-            "text_projection": jnp.asarray(_to_np(sd["text_projection"])),
-        },
+        "text": _convert_text(sd, cfg),
         "logit_scale": jnp.asarray(_to_np(sd["logit_scale"])),
     }
     return params, cfg
+
+
+def _convert_text(sd: Dict[str, Any], cfg: ClipConfig) -> Params:
+    return {
+        "token_embedding": jnp.asarray(_to_np(sd["token_embedding.weight"])),
+        "positional_embedding": jnp.asarray(_to_np(sd["positional_embedding"])),
+        "blocks": _convert_blocks(sd, "transformer", cfg.transformer_layers),
+        "ln_final": {
+            "scale": jnp.asarray(_to_np(sd["ln_final.weight"])),
+            "bias": jnp.asarray(_to_np(sd["ln_final.bias"])),
+        },
+        "text_projection": jnp.asarray(_to_np(sd["text_projection"])),
+    }
 
 
 def convert_torch_checkpoint(path: str) -> Tuple[Params, ClipConfig]:
@@ -170,19 +196,33 @@ def load_params_npz(path: str) -> Tuple[Params, ClipConfig]:
     with np.load(path) as data:
         params = _unflatten({k: data[k] for k in data.files})
     v, t = params["visual"], params["text"]
-    patch = int(math.isqrt(v["patch_w"].shape[0] // 3))
-    grid = int(math.isqrt(v["positional_embedding"].shape[0] - 1))
-    cfg = ClipConfig(
+    text = dict(
         embed_dim=t["text_projection"].shape[1],
-        image_resolution=patch * grid,
-        vision_layers=v["blocks"]["ln_1"]["scale"].shape[0],
-        vision_width=v["patch_w"].shape[1],
-        vision_patch_size=patch,
         context_length=t["positional_embedding"].shape[0],
         vocab_size=t["token_embedding"].shape[0],
         transformer_width=t["token_embedding"].shape[1],
         transformer_heads=t["token_embedding"].shape[1] // 64,
         transformer_layers=t["blocks"]["ln_1"]["scale"].shape[0],
+    )
+    if "stem" in v:        # ModifiedResNet tree
+        spacial = int(math.isqrt(v["attnpool"]["positional_embedding"].shape[0] - 1))
+        cfg = ClipConfig(
+            image_resolution=spacial * 32,
+            vision_layers=tuple(
+                len(v[f"layer{i}"]) for i in (1, 2, 3, 4)),
+            vision_width=v["layer1"]["0"]["conv1"].shape[3],
+            vision_patch_size=None,
+            **text,
+        )
+        return params, cfg
+    patch = int(math.isqrt(v["patch_w"].shape[0] // 3))
+    grid = int(math.isqrt(v["positional_embedding"].shape[0] - 1))
+    cfg = ClipConfig(
+        image_resolution=patch * grid,
+        vision_layers=v["blocks"]["ln_1"]["scale"].shape[0],
+        vision_width=v["patch_w"].shape[1],
+        vision_patch_size=patch,
+        **text,
     )
     return params, cfg
 

@@ -37,18 +37,27 @@ Params = Dict[str, Any]
 
 @dataclasses.dataclass(frozen=True)
 class ClipConfig:
-    """Architecture hyperparameters (ViT-B/32 defaults)."""
+    """Architecture hyperparameters (ViT-B/32 defaults).
+
+    ``vision_layers`` as a tuple (e.g. ``(3, 4, 6, 3)`` for RN50) selects
+    the ModifiedResNet vision tower (ccmh/clip/resnet.py), mirroring the
+    reference's build_model inference (model/base/model.py:415-431);
+    ``vision_patch_size`` is None in that case."""
 
     embed_dim: int = 512
     image_resolution: int = 224
-    vision_layers: int = 12
+    vision_layers: Any = 12
     vision_width: int = 768
-    vision_patch_size: int = 32
+    vision_patch_size: Optional[int] = 32
     context_length: int = 77
     vocab_size: int = 49408
     transformer_width: int = 512
     transformer_heads: int = 8
     transformer_layers: int = 12
+
+    @property
+    def is_resnet(self) -> bool:
+        return isinstance(self.vision_layers, (tuple, list))
 
     @property
     def vision_heads(self) -> int:
@@ -252,6 +261,14 @@ def vision_forward(
     "mith":   ln_post applied to *all* tokens, all projected, plus the
               last-layer cls->patch attention row (model/MITH.py:57-83).
     """
+    if cfg.is_resnet:
+        if features != "pooled":
+            raise ValueError(
+                "token-level features require the ViT tower (MITH/DPSIH are "
+                "ViT-only in the reference too, model/MITH.py:56-83)")
+        from ccmh.clip.resnet import resnet_forward
+
+        return VisionOutput(pooled=resnet_forward(p, cfg, images, dtype=dtype))
     x = patchify(images.astype(dtype), cfg.vision_patch_size)
     x = x @ p["patch_w"].astype(dtype)                     # [B, P, W]
     B = x.shape[0]
@@ -403,22 +420,19 @@ def init_clip_params(key: jax.Array, cfg: ClipConfig = ClipConfig()) -> Params:
     vw, tw = cfg.vision_width, cfg.transformer_width
     v_scale = vw ** -0.5
 
-    patch_fan_in = 3 * cfg.vision_patch_size ** 2
-    patch_bound = (1.0 / patch_fan_in) ** 0.5 * math.sqrt(3.0)
+    if cfg.is_resnet:
+        from ccmh.clip.resnet import init_resnet_visual
 
-    v_proj_std = (vw ** -0.5) * ((2 * cfg.vision_layers) ** -0.5)
-    v_blocks = [
-        _init_block(k, vw, vw ** -0.5, v_proj_std, (2 * vw) ** -0.5)
-        for k in jax.random.split(keys[0], cfg.vision_layers)
-    ]
-    t_proj_std = (tw ** -0.5) * ((2 * cfg.transformer_layers) ** -0.5)
-    t_blocks = [
-        _init_block(k, tw, tw ** -0.5, t_proj_std, (2 * tw) ** -0.5)
-        for k in jax.random.split(keys[1], cfg.transformer_layers)
-    ]
-
-    return {
-        "visual": {
+        visual = init_resnet_visual(keys[2], cfg)
+    else:
+        patch_fan_in = 3 * cfg.vision_patch_size ** 2
+        patch_bound = (1.0 / patch_fan_in) ** 0.5 * math.sqrt(3.0)
+        v_proj_std = (vw ** -0.5) * ((2 * cfg.vision_layers) ** -0.5)
+        v_blocks = [
+            _init_block(k, vw, vw ** -0.5, v_proj_std, (2 * vw) ** -0.5)
+            for k in jax.random.split(keys[0], cfg.vision_layers)
+        ]
+        visual = {
             "patch_w": jax.random.uniform(
                 keys[2], (patch_fan_in, vw), minval=-patch_bound, maxval=patch_bound
             ),
@@ -429,7 +443,16 @@ def init_clip_params(key: jax.Array, cfg: ClipConfig = ClipConfig()) -> Params:
             "blocks": _stack_blocks(v_blocks),
             "ln_post": _init_ln(vw),
             "proj": v_scale * jax.random.normal(keys[5], (vw, cfg.embed_dim)),
-        },
+        }
+
+    t_proj_std = (tw ** -0.5) * ((2 * cfg.transformer_layers) ** -0.5)
+    t_blocks = [
+        _init_block(k, tw, tw ** -0.5, t_proj_std, (2 * tw) ** -0.5)
+        for k in jax.random.split(keys[1], cfg.transformer_layers)
+    ]
+
+    return {
+        "visual": visual,
         "text": {
             "token_embedding": 0.02 * jax.random.normal(keys[6], (cfg.vocab_size, tw)),
             "positional_embedding": 0.01
