@@ -119,19 +119,22 @@ def main():
 
         @jax.jit
         def run_steps(state, batch, n):
-            def body(_, s):
-                s2, _ = raw_step(s, batch)
-                return s2
-            return jax.lax.fori_loop(0, n, body, state)
+            # scalar loss accumulator: the relay's block_until_ready is
+            # unreliable, a float() fetch is the dependable sync point
+            def body(_, carry):
+                s, acc = carry
+                s2, m = raw_step(s, batch)
+                return (s2, acc + m["loss"])
+            return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))[1]
 
-        jax.block_until_ready(run_steps(state, t_batch, 2))
+        float(run_steps(state, t_batch, 2))
         best = None
         for _ in range(2):
             t0 = time.time()
-            jax.block_until_ready(run_steps(state, t_batch, 2))
+            float(run_steps(state, t_batch, 2))
             ts = time.time() - t0
             t0 = time.time()
-            jax.block_until_ready(run_steps(state, t_batch, 8))
+            float(run_steps(state, t_batch, 8))
             tl = time.time() - t0
             per = (tl - ts) / 6
             best = per if best is None else min(best, per)

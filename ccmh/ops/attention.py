@@ -94,6 +94,90 @@ def _pallas_forward(qkv: jax.Array, bias: Optional[jax.Array], n_head: int,
     )(*args)
 
 
+def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_head: int, head_dim: int,
+                has_bias: bool, bias_ref=None):
+    """Flash-style backward: recompute logits+softmax per head in VMEM,
+    emit dq/dk/dv — no [B, H, L, L] HBM traffic and none of the
+    latency-bound XLA relayouts of the naive vjp."""
+    D = n_head * head_dim
+    qkv = qkv_ref[:]                                       # [BB, L, 3D]
+    g = g_ref[:]                                           # [BB, L, D]
+    scale = 1.0 / math.sqrt(head_dim)
+    bias = bias_ref[:].astype(jnp.float32) if has_bias else None
+    for h in range(n_head):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = qkv[:, :, sl]
+        k = qkv[:, :, D + h * head_dim : D + (h + 1) * head_dim]
+        v = qkv[:, :, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim]
+        g_h = g[:, :, sl]                                  # [BB, L, Dh]
+
+        logits = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale    # [BB, Lq, Lk]
+        if bias is not None:
+            logits = logits + bias[None, :, :]
+        probs = jax.nn.softmax(logits, axis=-1)            # f32
+        probs_c = probs.astype(qkv.dtype)
+
+        # dv = probs^T @ g  (contract over the query axis)
+        dv = jax.lax.dot_general(
+            probs_c, g_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # [BB, Lk, Dh]
+        # dprobs = g @ v^T
+        dprobs = jax.lax.dot_general(
+            g_h, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # [BB, Lq, Lk]
+        # softmax vjp: dlogits = p * (dp - sum(dp * p))
+        dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                            keepdims=True))
+        dlogits = (dlogits * scale).astype(qkv.dtype)
+        dq = jax.lax.dot_general(
+            dlogits, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # [BB, Lq, Dh]
+        dk = jax.lax.dot_general(
+            dlogits, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # [BB, Lk, Dh]
+        dqkv_ref[:, :, sl] = dq.astype(qkv.dtype)
+        dqkv_ref[:, :, D + h * head_dim : D + (h + 1) * head_dim] = dk.astype(qkv.dtype)
+        dqkv_ref[:, :, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim] = dv.astype(qkv.dtype)
+
+
+def _pallas_backward(qkv: jax.Array, bias: Optional[jax.Array], g: jax.Array,
+                     n_head: int, block_b: int) -> jax.Array:
+    B, L, D3 = qkv.shape
+    D = D3 // 3
+    head_dim = D // n_head
+    bb = _pick_block_b(B, block_b)
+    interpret = jax.default_backend() != "tpu"
+    g = g.astype(qkv.dtype)
+
+    kernel = functools.partial(
+        _bwd_kernel, n_head=n_head, head_dim=head_dim, has_bias=bias is not None)
+    in_specs = [
+        pl.BlockSpec((bb, L, D3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [qkv, g]
+    if bias is not None:
+        def kernel(qkv_ref, g_ref, bias_ref, dqkv_ref):  # noqa: F811
+            _bwd_kernel(qkv_ref, g_ref, dqkv_ref, n_head=n_head,
+                        head_dim=head_dim, has_bias=True, bias_ref=bias_ref)
+
+        in_specs.append(pl.BlockSpec((L, L), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias.astype(jnp.float32))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, L, D3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L, D3), qkv.dtype),
+        interpret=interpret,
+    )(*args)
+
+
 def _xla_attention(qkv: jax.Array, bias: Optional[jax.Array], n_head: int) -> jax.Array:
     """Reference formulation (identical math, used for the backward pass)."""
     B, L, D3 = qkv.shape
@@ -129,13 +213,11 @@ def _fwd(qkv, bias, n_head, block_b):
 
 def _bwd(n_head, block_b, res, g):
     qkv, bias = res
+    d_qkv = _pallas_backward(qkv, bias, g, n_head, block_b)
     if bias is None:
-        _, vjp = jax.vjp(lambda a: _xla_attention(a, None, n_head), qkv)
-        (d_qkv,) = vjp(g)
         return d_qkv, None
-    _, vjp = jax.vjp(lambda a, b: _xla_attention(a, b, n_head), qkv, bias)
-    d_qkv, d_bias = vjp(g)
-    return d_qkv, d_bias
+    # additive biases here are constants (causal masks); zero cotangent.
+    return d_qkv, jnp.zeros_like(bias)
 
 
 fused_attention.defvjp(_fwd, _bwd)

@@ -184,3 +184,20 @@ def test_jit_compiles():
     i, t = fn(params, jnp.asarray(images), jnp.asarray(ids.astype(np.int32)))
     assert i.shape == (2, TINY.embed_dim)
     assert t.shape == (2, TINY.embed_dim)
+
+
+def test_zoo_surface(tmp_path):
+    """Model zoo helpers: names, cached-checksum path, unknown-name error
+    (network download itself is exercised only where egress exists)."""
+    from ccmh.clip import zoo
+
+    assert "ViT-B/32" in zoo.available_models()
+    assert "RN50" in zoo.available_models()
+    with pytest.raises(KeyError, match="unknown model"):
+        zoo.download("ViT-Z/99", root=str(tmp_path))
+    # cached file with wrong bytes is NOT accepted silently
+    import os
+    target = tmp_path / "ViT-B-32.pt"
+    target.write_bytes(b"junk")
+    sha = zoo._sha256(str(target))
+    assert sha != zoo._MODELS["ViT-B/32"][0]
