@@ -48,6 +48,23 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--clip-lr", type=float, default=defaults.clip_lr)
     parser.add_argument("--weight-decay", type=float, default=defaults.weight_decay)
     parser.add_argument("--warmup-proportion", type=float, default=defaults.warmup_proportion)
+    parser.add_argument("--lr-decay", type=float, default=defaults.lr_decay)
+    parser.add_argument("--lr-decay-freq", type=int, default=defaults.lr_decay_freq)
+
+    # reference argsbase.py:8-15 toggles
+    parser.add_argument("--save-mat", dest="save_mat", action="store_true",
+                        default=defaults.save_mat)
+    parser.add_argument("--no-save-mat", dest="save_mat", action="store_false")
+    parser.add_argument("--save-model", dest="save_model", action="store_true",
+                        default=defaults.save_model)
+    parser.add_argument("--save-csv", dest="save_csv", action="store_true",
+                        default=defaults.save_csv)
+    parser.add_argument("--valid", dest="valid", action="store_true",
+                        default=defaults.valid)
+    parser.add_argument("--no-valid", dest="valid", action="store_false")
+    parser.add_argument("--vit-use", dest="vit_use", action="store_true",
+                        default=defaults.vit_use)
+    parser.add_argument("--num-workers", type=int, default=defaults.num_workers)
 
     parser.add_argument("--eval-batch", type=int, default=defaults.eval_batch)
     parser.add_argument("--compute-dtype", type=str, default=defaults.compute_dtype)
@@ -80,6 +97,10 @@ def config_from_args(argv=None) -> Config:
         resolution=args.resolution, display_step=args.display_step,
         lr=args.lr, clip_lr=args.clip_lr, weight_decay=args.weight_decay,
         warmup_proportion=args.warmup_proportion, eval_batch=args.eval_batch,
+        lr_decay=args.lr_decay, lr_decay_freq=args.lr_decay_freq,
+        save_mat=args.save_mat, save_model=args.save_model,
+        save_csv=args.save_csv, valid=args.valid, vit_use=args.vit_use,
+        num_workers=args.num_workers,
         compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
         resume=args.resume, profile=args.profile,
         mesh_shape=tuple(int(x) for x in args.mesh.split(",")),

@@ -205,6 +205,7 @@ class Config:
     resolution: int = 224
     max_words: int = 32
     vit_use: bool = True
+    num_workers: int = 8                  # host data-pipeline threads
 
     # TPU-specific
     mesh_shape: Tuple[int, ...] = (1,)    # data-parallel mesh ("data" axis)

@@ -93,12 +93,16 @@ class Trainer:
         if self.cfg.nclass == 0:
             self.cfg.nclass = self.query_labels.shape[1]
 
+        nw = getattr(cfg, "num_workers", 8)
         self.train_loader = BatchIterator(
-            self.train_data, cfg.batch_size, shuffle=True, seed=cfg.seed)
+            self.train_data, cfg.batch_size, shuffle=True, seed=cfg.seed,
+            num_workers=nw)
         self.query_loader = BatchIterator(
-            self.query_data, cfg.eval_batch, shuffle=False, seed=cfg.seed)
+            self.query_data, cfg.eval_batch, shuffle=False, seed=cfg.seed,
+            num_workers=nw)
         self.retrieval_loader = BatchIterator(
-            self.retrieval_data, cfg.eval_batch, shuffle=False, seed=cfg.seed)
+            self.retrieval_data, cfg.eval_batch, shuffle=False, seed=cfg.seed,
+            num_workers=nw)
 
     # ----------------------------------------------------------------- model
     def _init_model(self, clip_cfg: Optional[ClipConfig], clip_params):
