@@ -6,13 +6,18 @@ sizes XLA's generic path is dominated not by FLOPs but by relayouts and
 latency-bound [B*H, L, Dh] batched matmuls: on a v5e the 12-block ViT-B/32
 tower spends ~half its time in per-head attention that is ~1% of its FLOPs.
 
-This kernel keeps one batch-block of qkv entirely in VMEM and runs every
-head's (QK^T -> masked fp32 softmax -> PV) without touching HBM in
+The forward kernel keeps one batch-block of qkv entirely in VMEM and runs
+every head's (QK^T -> masked fp32 softmax -> PV) without touching HBM in
 between; the only HBM traffic is the natural-layout qkv read and the
-[B, L, D] context write.  Numerics match the XLA formulation (fp32 logits
-and softmax, bf16 elsewhere) — the backward pass recomputes attention via
-the plain-XLA reference implementation under ``jax.custom_vjp``, so
-training through the kernel differentiates exactly like the XLA path.
+[B, L, D] context write.  The backward is a flash-style Pallas kernel of
+the same shape: it recomputes logits+softmax in VMEM and emits dq/dk/dv
+in one pass (``jax.custom_vjp``).  Numerics match the XLA formulation
+(fp32 logits/softmax, bf16 elsewhere; grad-parity test).
+
+A head-pair 2-D grid variant (128-lane blocks via index maps) benches
+~20% faster in isolation but ~2% slower end-to-end inside the scan —
+the 1-D grid pipelines better between the surrounding matmuls, so it
+stays.
 
 On non-TPU backends (the CPU test mesh) the kernel runs in interpreter
 mode automatically.
