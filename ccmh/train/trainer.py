@@ -270,6 +270,17 @@ class Trainer:
         self.metrics.write("valid", self.global_step, epoch=epoch, i2t=i2t,
                            t2i=t2i, i2i=i2i, t2t=t2t,
                            q_encoder_time=q_time, r_encoder_time=r_time)
+        if self.cfg.save_csv:
+            # the reference declares --save_csv but never writes anything
+            # (argsbase.py:11, SURVEY §5); here it produces the per-epoch
+            # mAP table the flag promises.
+            csv_path = os.path.join(self.cfg.save_dir, "results.csv")
+            write_header = not os.path.exists(csv_path)
+            with open(csv_path, "a") as fh:
+                if write_header:
+                    fh.write("epoch,i2t,t2i,i2i,t2t,max_i2t,max_t2i\n")
+                fh.write(f"{epoch},{i2t},{t2i},{i2i},{t2t},"
+                         f"{self.max_mapi2t},{self.max_mapt2i}\n")
         if self.multi_encode_step is not None:
             self.valid_multi(epoch)
         return i2t, t2i, i2i, t2t
