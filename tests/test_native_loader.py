@@ -82,3 +82,17 @@ def test_batch_iterator_uses_native(tmp_path):
     )
     ds2 = CrossModalDataset(raw2, is_train=True, max_words=8, resolution=64, seed=0)
     assert ds2.image_path(0) is None
+
+
+def test_grayscale_jpeg(tmp_path):
+    """Grayscale JPEGs decode via libjpeg's L->RGB conversion and match the
+    PIL path (real Flickr/COCO archives contain mode-L images)."""
+    rng = np.random.RandomState(5)
+    arr = (rng.rand(120, 90) * 255).astype(np.uint8)
+    p = str(tmp_path / "gray.jpg")
+    Image.fromarray(arr, mode="L").save(p, quality=92)
+    images, ok = native.decode_batch([p], 64, True)
+    assert ok.all()
+    ref = _transform(_to_pil(p), 64, True)
+    pixel_diff = np.abs(images[0] - ref) * STD * 255.0
+    assert pixel_diff.max() <= 2.0 + 1e-3, pixel_diff.max()
