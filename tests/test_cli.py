@@ -43,3 +43,32 @@ def test_cli_end_to_end(tmp_path):
     assert any(e["event"] == "valid" for e in events)
     assert os.path.exists(
         os.path.join(save_dir, "PR_cruve", "16-ours-synthetic-i2t.mat"))
+
+
+def test_cli_nuswide_caption_txt(tmp_path):
+    """NUS-WIDE-style dataset: captions in caption.txt (one line per item,
+    dataset/dataloader.py:44-45) + MITH (key_padding_mask pipeline) —
+    the driver's 'MITH on nuswide' config shape."""
+    import numpy as np
+    import scipy.io as scio
+    from ccmh.data.synthetic import synthetic_arrays
+
+    d = tmp_path / "data"
+    d.mkdir()
+    raw = synthetic_arrays(n=48, n_class=6, resolution=32)
+    with open(d / "caption.txt", "w") as fh:
+        for caps in raw.captions:
+            fh.write(caps[0].replace("\n", " ") + "\n")
+    np.save(d / "index.npy", raw.indexes)
+    scio.savemat(d / "label.mat", {"category": raw.labels})
+
+    trainer = main([
+        "--method", "MITH", "--dataset", "nuswide_synth", "--output-dim", "16",
+        "--data-dir", str(d), "--save-dir", str(tmp_path / "out"),
+        "--epochs", "1", "--batch-size", "12", "--query-num", "12",
+        "--train-num", "24", "--eval-batch", "12", "--clip-arch", "tiny",
+        "--set", "mith.top_k_label=4",
+    ])
+    assert trainer.global_step == 2
+    assert trainer.cfg.nclass == 6          # auto-filled from labels, not table
+    assert 0.0 <= trainer.max_mapi2t <= 1.0
