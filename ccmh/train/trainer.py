@@ -136,7 +136,12 @@ class Trainer:
         self.extra_tx = self.method.extra_tx(cfg) if self.method.extra_tx else None
         self.state = init_state(k_state, params, extra, aux, self.tx, self.extra_tx)
 
-        if cfg.pretrained and os.path.exists(cfg.pretrained):
+        if cfg.pretrained:
+            if not os.path.exists(cfg.pretrained):
+                # a typo'd path must not silently fall through to random
+                # weights (--test would then report garbage mAPs)
+                raise FileNotFoundError(
+                    f"--pretrained {cfg.pretrained!r} does not exist")
             self.load_checkpoint(cfg.pretrained)
 
         loss_fn = self.method.make_loss_fn(cfg, clip_cfg)
@@ -394,6 +399,16 @@ class Trainer:
         self.logger.info(f"save model to {path}")
 
     def load_checkpoint(self, path: str):
+        if os.path.isdir(path):
+            # --pretrained pointed at an orbax state_ckpt dir: restore the
+            # full state's weights (a natural thing to try after --resume
+            # runs; the npz branch stays the cross-run interchange format)
+            from ccmh.train.checkpoint import load_state
+
+            state, _ = load_state(path, self.state)
+            self.state = state
+            self.logger.info(f"loaded full-state checkpoint {path}")
+            return
         with np.load(path, allow_pickle=False) as data:
             tree = _unflatten({k: data[k] for k in data.files})
         self.state = self.state._replace(

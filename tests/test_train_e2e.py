@@ -200,3 +200,18 @@ def test_bf16_compute_dtype(tmp_path):
         assert np.isfinite(losses[name])
     # same data, same init: bf16 loss within 1% of fp32
     assert abs(losses["bf16"] - losses["f32"]) / abs(losses["f32"]) < 0.01, losses
+
+
+def test_pretrained_accepts_state_ckpt_dir(tmp_path):
+    """--pretrained pointed at an orbax state_ckpt directory restores the
+    full state's weights (npz stays the interchange format)."""
+    t = make_trainer("DCHMT", tmp_path)
+    t.train_epoch(0)
+    t.save_full_checkpoint(0)
+    ck = str(tmp_path / "DCHMT" / "state_ckpt")
+
+    t2 = make_trainer("DCHMT", tmp_path / "b")
+    t2.load_checkpoint(ck)
+    for x, y in zip(jax.tree.leaves(t.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
