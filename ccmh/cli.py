@@ -48,8 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--clip-lr", type=float, default=defaults.clip_lr)
     parser.add_argument("--weight-decay", type=float, default=defaults.weight_decay)
     parser.add_argument("--warmup-proportion", type=float, default=defaults.warmup_proportion)
-    parser.add_argument("--lr-decay", type=float, default=defaults.lr_decay)
-    parser.add_argument("--lr-decay-freq", type=int, default=defaults.lr_decay_freq)
+    parser.add_argument("--lr-decay", type=float, default=defaults.lr_decay,
+                        help="accepted for CLI parity with argsbase.py:15 but UNUSED "
+                             "— no reference trainer reads it; a warning is emitted "
+                             "if a non-default value is passed")
+    parser.add_argument("--lr-decay-freq", type=int, default=defaults.lr_decay_freq,
+                        help="accepted for CLI parity with argsbase.py:26 but UNUSED "
+                             "(see --lr-decay)")
 
     # reference argsbase.py:8-15 toggles
     parser.add_argument("--save-mat", dest="save_mat", action="store_true",
@@ -63,7 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                         default=defaults.valid)
     parser.add_argument("--no-valid", dest="valid", action="store_false")
     parser.add_argument("--vit-use", dest="vit_use", action="store_true",
-                        default=defaults.vit_use)
+                        default=defaults.vit_use,
+                        help="accepted for CLI parity with argsbase.py:31 but UNUSED "
+                             "— the reference never reads it either; the tower is "
+                             "always the architecture of the loaded checkpoint")
+    parser.add_argument("--no-vit-use", dest="vit_use", action="store_false")
     parser.add_argument("--num-workers", type=int, default=defaults.num_workers)
 
     parser.add_argument("--eval-batch", type=int, default=defaults.eval_batch)
@@ -87,6 +96,19 @@ def build_parser() -> argparse.ArgumentParser:
 
 def config_from_args(argv=None) -> Config:
     args = build_parser().parse_args(argv)
+    defaults = Config()
+    # flags the reference declares but never reads (argsbase.py:15,26,31):
+    # kept for CLI parity, but a non-default value must not silently no-op
+    for flag, field in (("--lr-decay", "lr_decay"),
+                        ("--lr-decay-freq", "lr_decay_freq"),
+                        ("--vit-use/--no-vit-use", "vit_use")):
+        if getattr(args, field) != getattr(defaults, field):
+            import warnings
+
+            warnings.warn(
+                f"{flag} is accepted for CLI parity with the reference "
+                f"(argsbase.py) but is UNUSED there and here — the value "
+                f"has no effect", stacklevel=2)
     cfg = Config(
         method=args.method, dataset=args.dataset, output_dim=args.output_dim,
         is_train=args.is_train,

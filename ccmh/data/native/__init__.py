@@ -30,15 +30,23 @@ def _build() -> Optional[ctypes.CDLL]:
         digest = hashlib.sha256(fh.read()).hexdigest()[:16]
     so_path = os.path.join(_DIR, f"_loader_{digest}.so")
     if not os.path.exists(so_path):
+        # per-process tmp name: concurrent builders (multi-process launch,
+        # pytest-xdist) must not clobber each other's half-written library;
+        # whoever finishes last wins the atomic os.replace, and both end up
+        # CDLL-ing a complete file.
+        tmp_path = f"{so_path}.tmp.{os.getpid()}"
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-pthread",
-            _SRC, "-o", so_path + ".tmp", "-ljpeg",
+            _SRC, "-o", tmp_path, "-ljpeg",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp_path, so_path)
         except (OSError, subprocess.SubprocessError):
             return None
-        os.replace(so_path + ".tmp", so_path)
+        finally:
+            if os.path.exists(tmp_path):
+                os.unlink(tmp_path)
     try:
         lib = ctypes.CDLL(so_path)
     except OSError:

@@ -186,11 +186,16 @@ bool load_one(const char* path, int resolution, int is_train, float* out) {
   const float* crop_src;
   int cw, ch;
   if (is_train) {
-    // round(dim * R / short) like the python pipeline (dataset.py _transform)
+    // round(dim * R / short) like the python pipeline (dataset.py
+    // _transform).  Python's round() is half-to-even; std::lrint follows
+    // the current FP rounding mode, which defaults to round-to-nearest-
+    // even — std::lround (half away from zero) would shift the center
+    // crop by 1px on exact-.5 scales and break bit-parity with the PIL
+    // fallback items mixed into the same batch.
     const int short_side = std::min(w, h);
     const double scale = static_cast<double>(R) / short_side;
-    const int nw = static_cast<int>(std::lround(w * scale));
-    const int nh = static_cast<int>(std::lround(h * scale));
+    const int nw = static_cast<int>(std::lrint(w * scale));
+    const int nh = static_cast<int>(std::lrint(h * scale));
     resized.resize(static_cast<size_t>(nw) * nh * 3);
     resize_rgb(fsrc.data(), w, h, resized.data(), nw, nh);
     crop_src = resized.data();

@@ -156,7 +156,6 @@ def init_lct(key, dim: int, k_bits: int, n_layers: int) -> Params:
             ]),                                          # [K, D]
             "b": jnp.zeros((k_bits,)),
         },
-        "pe": sincos_position(k_bits, dim),
     }
 
 
@@ -166,7 +165,10 @@ def lct(
 ):
     """LocalConceptTransforming -> (bit codes [B, K], pseudo, trans tokens)."""
     x, pseudo = localized_token_aggregation(tokens, concept, top_k, key_padding_mask)
-    x = x + p["pe"][None, : x.shape[1], :]
+    # sinusoidal PE is a CONSTANT (a registered buffer in the reference,
+    # model/MITH.py:267 — NOT a parameter): computed here so it can never
+    # leak into the optimizer; XLA folds it at compile time.
+    x = x + sincos_position(x.shape[1], x.shape[2])[None, :, :]
     x, _ = transformer(x, p["blocks"], n_heads)
     bits = jnp.einsum("bkd,kd->bk", x, p["hashing"]["w"]) + p["hashing"]["b"]
     return jnp.tanh(bits), pseudo, x

@@ -203,12 +203,7 @@ def _xla_attention(qkv: jax.Array, bias: Optional[jax.Array], n_head: int) -> ja
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_attention(
-    qkv: jax.Array,                  # [B, L, 3D] packed q|k|v (post qkv matmul)
-    bias: Optional[jax.Array],       # [L, L] additive fp32 mask or None
-    n_head: int,
-    block_b: int = 16,               # batch elems per program (16 best on v5e)
-) -> jax.Array:                      # [B, L, D] heads concatenated
+def _fused_attention(qkv, bias, n_head, block_b):
     return _pallas_forward(qkv, bias, n_head, block_b)
 
 
@@ -221,8 +216,30 @@ def _bwd(n_head, block_b, res, g):
     d_qkv = _pallas_backward(qkv, bias, g, n_head, block_b)
     if bias is None:
         return d_qkv, None
-    # additive biases here are constants (causal masks); zero cotangent.
+    # bias enters through the public wrapper's stop_gradient, so no real
+    # tangent can reach this cotangent — the zero is exact, not fabricated.
     return d_qkv, jnp.zeros_like(bias)
 
 
-fused_attention.defvjp(_fwd, _bwd)
+_fused_attention.defvjp(_fwd, _bwd)
+
+
+def fused_attention(
+    qkv: jax.Array,                  # [B, L, 3D] packed q|k|v (post qkv matmul)
+    bias: Optional[jax.Array],       # [L, L] additive fp32 mask or None
+    n_head: int,
+    block_b: int = 16,               # batch elems per program (16 best on v5e)
+) -> jax.Array:                      # [B, L, D] heads concatenated
+    """Fused multi-head attention (Pallas fwd + bwd kernels).
+
+    ``bias`` is NON-DIFFERENTIABLE by contract: it is an attention *mask*
+    (causal / key-padding), and the backward kernel does not compute a bias
+    cotangent.  ``stop_gradient`` here makes that explicit — a future
+    trainable 2-D bias routed into this path gets its gradient severed at
+    this visible boundary instead of silently receiving a fabricated zero
+    from the VJP; route trainable biases through the XLA path instead
+    (clip/model.py multi_head_attention, need_weights=True form).
+    """
+    if bias is not None:
+        bias = jax.lax.stop_gradient(bias)
+    return _fused_attention(qkv, bias, n_head, block_b)

@@ -54,8 +54,10 @@ def _forward(params, batch, clip_cfg, cfg, top_k=8):
 def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
     out = _forward(params, batch, clip_cfg, cfg, cfg.mith.top_k_label)
     label_sim = calc_neighbor(aux["train_labels"], batch["label"])
-    loss, metrics = mith_loss(out, label_sim, aux["buffers"], cfg.mith, cfg.output_dim)
 
+    # buffers are updated BEFORE the loss (train/MITH/hash_train.py:72-83):
+    # the bayesian terms see the current batch's detached codes in their own
+    # buffer rows, not the previous epoch's
     idx = batch["index"]
     sg = jax.lax.stop_gradient
     new_buffers = {
@@ -64,6 +66,8 @@ def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
         "txt_tokens": aux["buffers"]["txt_tokens"].at[idx].set(sg(out.txt_tokens_hash)),
         "txt_cls": aux["buffers"]["txt_cls"].at[idx].set(sg(out.txt_cls_hash)),
     }
+    loss, metrics = mith_loss(out, label_sim, new_buffers, cfg.mith, cfg.output_dim)
+
     new_aux = dict(aux)
     new_aux["buffers"] = new_buffers
     return loss, (new_aux, metrics)

@@ -73,6 +73,7 @@ def bert_adam(
     eps: float = 1e-6,
     weight_decay: float = 0.0,
     max_grad_norm: float = 1.0,
+    block_stacked: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """Build the transform.
 
@@ -80,6 +81,13 @@ def bert_adam(
     (per-leaf base learning rate — the param-group mechanism).  Typical use:
     clip-backbone leaves at 1e-5, head leaves at 1e-3, mirroring
     train/DSPH/hash_train.py:35-41.
+
+    ``block_stacked`` is an optional pytree of bools congruent to the
+    params: True marks leaves whose axis 0 stacks what the reference holds
+    as SEPARATE per-layer tensors (the lax.scan transformer blocks).  The
+    per-parameter-tensor grad clip must then apply per axis-0 slice — a
+    whole-leaf norm would couple the layers and diverge from the reference
+    trajectory whenever any layer's gradient exceeds max_grad_norm.
     """
     if schedule not in SCHEDULES:
         raise ValueError(f"unknown schedule {schedule!r}")
@@ -94,11 +102,18 @@ def bert_adam(
             raise ValueError("bert_adam requires params")
 
         if max_grad_norm > 0:
-            def clip_leaf(g):
-                norm = jnp.linalg.norm(g.ravel())
+            def clip_leaf(g, blocked=False):
+                if blocked and g.ndim >= 1:
+                    axes = tuple(range(1, g.ndim))
+                    norm = jnp.sqrt(jnp.sum(g * g, axis=axes, keepdims=True))
+                else:
+                    norm = jnp.linalg.norm(g.ravel())
                 scale = jnp.minimum(1.0, max_grad_norm / (norm + 1e-6))
                 return g * scale
-            grads = jax.tree.map(clip_leaf, grads)
+            if block_stacked is None:
+                grads = jax.tree.map(clip_leaf, grads)
+            else:
+                grads = jax.tree.map(clip_leaf, grads, block_stacked)
 
         m = jax.tree.map(lambda mu, g: b1 * mu + (1 - b1) * g, state.m, grads)
         v = jax.tree.map(lambda nu, g: b2 * nu + (1 - b2) * g * g, state.v, grads)
@@ -124,6 +139,18 @@ def bert_adam(
         return updates, BertAdamState(step=state.step + 1, m=m, v=v)
 
     return optax.GradientTransformation(init, update)
+
+
+def block_stacked_tree(params: Any) -> Any:
+    """Pytree of bools marking scan-stacked transformer-block leaves.
+
+    Converted CLIP params stack the per-layer block weights along axis 0
+    under a ``blocks`` key (clip/convert.py _convert_blocks); those are the
+    leaves whose reference counterparts are per-layer tensors."""
+    def mark(path, leaf):
+        return any(getattr(k, "key", None) == "blocks" for k in path)
+
+    return jax.tree_util.tree_map_with_path(mark, params)
 
 
 def lr_tree_for(params: Any, default_lr: float, overrides: dict) -> Any:

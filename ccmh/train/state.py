@@ -17,7 +17,7 @@ import optax
 
 from ccmh.clip.model import ClipConfig
 from ccmh.config import Config
-from ccmh.train.optim import bert_adam, lr_tree_for
+from ccmh.train.optim import bert_adam, block_stacked_tree, lr_tree_for
 
 
 class TrainState(NamedTuple):
@@ -43,6 +43,9 @@ def make_main_optimizer(cfg: Config, params: Dict[str, Any], steps_per_epoch: in
         b1=0.9, b2=0.98, eps=1e-6,
         weight_decay=cfg.weight_decay,
         max_grad_norm=1.0,
+        # scan-stacked transformer blocks clip per layer, matching the
+        # reference's per-parameter-tensor clip (optimization.py:136-140)
+        block_stacked=block_stacked_tree(params),
     )
 
 

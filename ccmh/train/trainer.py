@@ -358,18 +358,27 @@ class Trainer:
 
     # ------------------------------------------------------------- checkpoint
     def save_full_checkpoint(self, epoch: int):
-        """Orbax checkpoint of the COMPLETE TrainState + epoch — the
-        failure-recovery path the reference lacks (SURVEY §5: its only
-        recovery is weight reload via --pretrained, train/base.py:225-227;
-        optimizer state and progress are lost)."""
+        """Orbax checkpoint of the COMPLETE TrainState + epoch + best-mAP
+        trackers — the failure-recovery path the reference lacks (SURVEY §5:
+        its only recovery is weight reload via --pretrained,
+        train/base.py:225-227; optimizer state and progress are lost)."""
         from ccmh.train.checkpoint import save_state
 
         state = self.state
         if self.mesh is not None:
             state = jax.tree.map(
                 lambda t: np.asarray(t) if hasattr(t, "shape") else t, state)
-        save_state(os.path.join(self.cfg.save_dir, "state_ckpt"), state, epoch)
+        save_state(os.path.join(self.cfg.save_dir, "state_ckpt"), state, epoch,
+                   meta=self._tracker_meta())
         self.logger.info(f"full-state checkpoint @ epoch {epoch}")
+
+    def _tracker_meta(self) -> Dict[str, float]:
+        return {
+            "max_mapi2t": self.max_mapi2t, "max_mapt2i": self.max_mapt2i,
+            "best_epoch_i": float(self.best_epoch_i),
+            "best_epoch_t": float(self.best_epoch_t),
+            "total_time": self.total_time,
+        }
 
     def try_resume(self) -> int:
         """Resume from save_dir/state_ckpt if present; returns start epoch."""
@@ -378,7 +387,17 @@ class Trainer:
         path = latest_checkpoint(self.cfg.save_dir)
         if path is None:
             return 0
-        state, epoch = load_state(path, self.state)
+        state, epoch, meta = load_state(path, self.state,
+                                        meta_template=self._tracker_meta())
+        if meta:
+            # restore best-mAP bookkeeping: without it the first post-resume
+            # valid() "beats" 0.0 and can overwrite the previously saved
+            # best .mat snapshots with worse codes
+            self.max_mapi2t = meta.get("max_mapi2t", 0.0)
+            self.max_mapt2i = meta.get("max_mapt2i", 0.0)
+            self.best_epoch_i = int(meta.get("best_epoch_i", 0))
+            self.best_epoch_t = int(meta.get("best_epoch_t", 0))
+            self.total_time = meta.get("total_time", 0.0)
         if self.mesh is not None:
             from ccmh.parallel.mesh import replicate
 
@@ -405,7 +424,7 @@ class Trainer:
             # runs; the npz branch stays the cross-run interchange format)
             from ccmh.train.checkpoint import load_state
 
-            state, _ = load_state(path, self.state)
+            state, _, _ = load_state(path, self.state)
             self.state = state
             self.logger.info(f"loaded full-state checkpoint {path}")
             return

@@ -60,6 +60,48 @@ if "torchvision" not in sys.modules:
         sys.modules["torchvision.transforms"] = tvt
 
 
+# xlrd is absent (and xlrd>=2 cannot read .xlsx anyway); reference DSPH/DMsH
+# loss modules import it at module level to read codetable.xlsx.  Back a
+# minimal stub with ccmh's stdlib xlsx reader so those modules load as
+# parity oracles; relative paths resolve against the reference root.
+if "xlrd" not in sys.modules:
+    try:
+        import xlrd  # noqa: F401
+    except ImportError:
+        def _make_xlrd_stub():
+            stub = types.ModuleType("xlrd")
+
+            class _Cell:
+                def __init__(self, v):
+                    self.value = v
+
+            class _Sheet:
+                def __init__(self, grid):
+                    self._grid = grid
+
+                def row(self, i):
+                    return [_Cell(v) for v in self._grid[i]]
+
+            class _Book:
+                def __init__(self, grid):
+                    self._grid = grid
+
+                def sheet_by_index(self, i):
+                    return _Sheet(self._grid)
+
+            def open_workbook(path):
+                from ccmh.utils.xlsx import read_sheet
+
+                if not os.path.isabs(path):
+                    path = os.path.join(REFERENCE_ROOT, path)
+                return _Book(read_sheet(path))
+
+            stub.open_workbook = open_workbook
+            return stub
+
+        sys.modules["xlrd"] = _make_xlrd_stub()
+
+
 def load_reference_module(relpath, name=None, strip_relative=False):
     """Import a module from the read-only reference tree by file path.
 
@@ -85,3 +127,13 @@ def load_reference_module(relpath, name=None, strip_relative=False):
     mod.__file__ = path
     exec(compile(source, path, "exec"), mod.__dict__)
     return mod
+
+
+def pytest_collection_modifyitems(config, items):
+    """Everything not explicitly marked slow belongs to the `fast` tier, so
+    `pytest -m fast` is a <60s verification pass and `-m slow` the rest."""
+    import pytest
+
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.fast)

@@ -86,7 +86,6 @@ def convert_hashing_model(ref) -> dict:
                 "w": jnp.stack([t(fc.weight)[0] for fc in mod.hashing.fc_list]),
                 "b": jnp.stack([t(fc.bias)[0] for fc in mod.hashing.fc_list]),
             },
-            "pe": t(mod.position.pe)[:, 0, :],
         }
 
     return {

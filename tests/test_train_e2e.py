@@ -176,7 +176,7 @@ def test_full_state_checkpoint_none_extra(tmp_path):
     assert t.state.extra is None
     path = str(tmp_path / "ck")
     save_state(path, jax.tree.map(np.asarray, t.state), 0)
-    restored, epoch = load_state(path, t.state)
+    restored, epoch, _ = load_state(path, t.state)
     assert epoch == 0 and restored.extra is None
     for x, y in zip(jax.tree.leaves(t.state.params),
                     jax.tree.leaves(restored.params)):
