@@ -148,6 +148,8 @@ def calc_map(
     method: str = "auto",
     dist_fn=None,
     n_bins: Optional[int] = None,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> jax.Array:
     """mAP@k of Hamming ranking (k=None -> mAP@all).
 
@@ -161,28 +163,62 @@ def calc_map(
     set to ~256M elements (bigger chunks amortise dispatch + sort setup —
     COCO-sized exact eval is ~1.6x faster at 2500 than at 512 — while
     million-item galleries automatically drop to smaller chunks to bound
-    the sort buffer).
+    the sort buffer).  The final partial chunk is zero-padded to the fixed
+    size (padded queries have no relevant items -> AP 0 and are excluded
+    by the division), so every chunk runs the SAME compiled program.
 
     ``method``: "exact" — stable sort, deterministic index tie-breaking;
     "hist" — sort-free expected-tie AP (mAP@all only, ~4x faster on large
     galleries); "auto" — hist when k is None, exact otherwise.
+
+    ``mesh``: optional 1-D jax.sharding.Mesh — each chunk's queries are
+    sharded over ``mesh_axis`` with the gallery replicated, so every chip
+    ranks its query shard against the full gallery and the AP sums combine
+    with one psum (compiler-inserted from the shardings).  Chunks are
+    padded to a device-count multiple.  Replaces the reference's CPU
+    python loop over queries AND scales it across the mesh.
     """
+    import numpy as onp
+
     use_hist = (method == "hist") or (method == "auto" and k is None)
     num_query = q_codes.shape[0]
     if chunk is None:
         chunk = max(256, min(num_query, (1 << 28) // max(r_codes.shape[0], 1)))
-    q_codes = jnp.asarray(q_codes)
-    r_codes = jnp.asarray(r_codes)
-    q_labels = jnp.asarray(q_labels, dtype=jnp.float32)
-    r_labels = jnp.asarray(r_labels, dtype=jnp.float32)
+
+    q_codes_h = onp.asarray(q_codes)
+    q_labels_h = onp.asarray(q_labels, dtype=onp.float32)
     if n_bins is None:
-        n_bins = q_codes.shape[1] + 1
+        n_bins = q_codes_h.shape[1] + 1
+
+    q_shard = r_repl = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = mesh.devices.size
+        chunk = -(-chunk // ndev) * ndev
+        q_shard = NamedSharding(mesh, P(mesh_axis))
+        r_repl = NamedSharding(mesh, P())
+
+    r_codes = jnp.asarray(r_codes)
+    r_labels = jnp.asarray(r_labels, dtype=jnp.float32)
+    if r_repl is not None:
+        r_codes = jax.device_put(r_codes, r_repl)
+        r_labels = jax.device_put(r_labels, r_repl)
 
     total = jnp.zeros((), jnp.float32)
     for start in range(0, num_query, chunk):
         size = min(chunk, num_query - start)
-        qc = jax.lax.dynamic_slice_in_dim(q_codes, start, size, 0)
-        ql = jax.lax.dynamic_slice_in_dim(q_labels, start, size, 0)
+        qc = q_codes_h[start : start + size]
+        ql = q_labels_h[start : start + size]
+        if size < chunk:  # zero-pad: all-zero labels -> tsum 0 -> AP 0
+            qc = onp.concatenate(
+                [qc, onp.zeros((chunk - size,) + qc.shape[1:], qc.dtype)])
+            ql = onp.concatenate(
+                [ql, onp.zeros((chunk - size, ql.shape[1]), ql.dtype)])
+        qc, ql = jnp.asarray(qc), jnp.asarray(ql)
+        if q_shard is not None:
+            qc = jax.device_put(qc, q_shard)
+            ql = jax.device_put(ql, q_shard)
         if use_hist:
             total = total + _map_chunk_hist(qc, r_codes, ql, r_labels, n_bins, dist_fn)
         else:
@@ -199,11 +235,14 @@ def calc_map_4way(
     method: str = "auto",
     dist_fn=None,
     n_bins: Optional[int] = None,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """(i2t, t2i, i2i, t2t) mAP — the reference's validation quartet
     (train/base.py:259-262)."""
-    i2t = calc_map(query_img, retrieval_txt, q_labels, r_labels, k, chunk, method, dist_fn, n_bins)
-    t2i = calc_map(query_txt, retrieval_img, q_labels, r_labels, k, chunk, method, dist_fn, n_bins)
-    i2i = calc_map(query_img, retrieval_img, q_labels, r_labels, k, chunk, method, dist_fn, n_bins)
-    t2t = calc_map(query_txt, retrieval_txt, q_labels, r_labels, k, chunk, method, dist_fn, n_bins)
+    kw = dict(k=k, chunk=chunk, method=method, dist_fn=dist_fn,
+              n_bins=n_bins, mesh=mesh)
+    i2t = calc_map(query_img, retrieval_txt, q_labels, r_labels, **kw)
+    t2i = calc_map(query_txt, retrieval_img, q_labels, r_labels, **kw)
+    i2i = calc_map(query_img, retrieval_img, q_labels, r_labels, **kw)
+    t2t = calc_map(query_txt, retrieval_txt, q_labels, r_labels, **kw)
     return i2t, t2i, i2i, t2t

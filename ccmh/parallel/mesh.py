@@ -107,12 +107,9 @@ def sharded_map_eval(mesh: Mesh, calc_map_fn, q_codes, r_codes, q_labels, r_labe
     """mAP with queries sharded across chips and the gallery replicated.
 
     Each chip ranks its query shard against the full gallery; the AP sums
-    combine with one scalar psum (inside calc_map's final mean).
+    combine with one scalar psum (inside calc_map's final mean).  Thin
+    wrapper over ``calc_map(..., mesh=...)`` — the Trainer passes the mesh
+    straight to calc_map_4way; this entry point remains for direct use.
     """
-    data = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
-    q_codes = jax.device_put(jnp.asarray(q_codes), data)
-    q_labels = jax.device_put(jnp.asarray(q_labels, dtype=jnp.float32), data)
-    r_codes = jax.device_put(jnp.asarray(r_codes), repl)
-    r_labels = jax.device_put(jnp.asarray(r_labels, dtype=jnp.float32), repl)
-    return calc_map_fn(q_codes, r_codes, q_labels, r_labels, k)
+    return calc_map_fn(q_codes, r_codes, q_labels, r_labels, k,
+                       mesh=mesh, mesh_axis=axis)

