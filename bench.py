@@ -103,28 +103,46 @@ def main():
         "vs_baseline": round(encodes_per_sec / 10_000.0, 3),
     }), flush=True)
 
-    # secondary: full training-step throughput (DSPH, ViT-B/32, bf16 towers)
-    try:
+    # secondary: full training-step throughput per method (ViT-B/32, bf16
+    # towers + BertAdam).  DSPH is the flagship line; MITH (token pipeline),
+    # DPBE (posterior sampling + Hessian EMA), DGHDGH (per-step GNN
+    # forwards) and DHaPH (two N^2 Poincare distance matrices) are the
+    # heaviest reference steps (e.g. train/DPBE/hash_train.py:89-189).
+    dsph_step = dsph_state = dsph_batch = None
+    dsph_ms = None
+    labels = jnp.asarray(
+        (np.random.RandomState(4).rand(B, 80) < 0.1).astype(np.float32))
+
+    def build_method_step(name: str):
         from ccmh.config import Config
         from ccmh.train.methods import get_method
         from ccmh.train.state import init_state, make_main_optimizer, make_train_step
 
-        t_cfg = Config(method="DSPH", output_dim=64, nclass=80, batch_size=B,
-                       epochs=1, compute_dtype="bfloat16")
-        method = get_method("DSPH")
+        t_cfg = Config(method=name, output_dim=64, nclass=80, batch_size=B,
+                       train_num=4096, epochs=1, compute_dtype="bfloat16")
+        method = get_method(name)
         mkey = jax.random.PRNGKey(3)
         heads, extra, aux = method.init(mkey, t_cfg, cfg)
+        if "train_labels" in aux:  # MITH buffer losses need the full split
+            aux["train_labels"] = jnp.asarray(
+                (np.random.RandomState(6).rand(t_cfg.train_num, 80) < 0.1)
+                .astype(np.float32))
         t_params = {"clip": init_clip_params(mkey, cfg), **heads}
         tx = make_main_optimizer(t_cfg, t_params, steps_per_epoch=100)
+        if method.grad_clip > 0:
+            import optax as _optax
+
+            tx = _optax.chain(_optax.clip_by_global_norm(method.grad_clip), tx)
         extra_tx = method.extra_tx(t_cfg) if method.extra_tx else None
         state = init_state(jax.random.fold_in(mkey, 9), t_params, extra, aux,
                            tx, extra_tx)
         raw_step = make_train_step(method.make_loss_fn(t_cfg, cfg), tx,
                                    extra_tx, t_cfg, cfg, jit=False)
-        labels = jnp.asarray(
-            (np.random.RandomState(4).rand(B, 80) < 0.1).astype(np.float32))
         t_batch = {"image": images, "text": ids, "label": labels,
-                   "index": jnp.arange(B, dtype=jnp.int32)}
+                   "index": jnp.arange(B, dtype=jnp.int32),
+                   "epoch": jnp.asarray(0, jnp.int32)}
+        if method.needs_mask:
+            t_batch["key_padding_mask"] = ids == 0
 
         @jax.jit
         def run_steps(state, batch, n):
@@ -136,21 +154,102 @@ def main():
                 return (s2, acc + m["loss"])
             return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))[1]
 
-        float(run_steps(state, t_batch, 2))
-        best = None
-        for _ in range(2):
-            t0 = time.time()
+        return run_steps, state, t_batch, raw_step
+
+    for name in ("DSPH", "MITH", "DPBE", "DGHDGH", "DHaPH"):
+        try:
+            run_steps, state, t_batch, raw_step = build_method_step(name)
             float(run_steps(state, t_batch, 2))
-            ts = time.time() - t0
-            t0 = time.time()
-            float(run_steps(state, t_batch, 8))
-            tl = time.time() - t0
-            per = (tl - ts) / 6
-            best = per if best is None else min(best, per)
-        log(f"train step (DSPH, B={B}, bf16 towers + BertAdam): "
-            f"{best * 1e3:.1f} ms -> {B / best:,.0f} samples/s/chip")
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                float(run_steps(state, t_batch, 2))
+                ts = time.time() - t0
+                t0 = time.time()
+                float(run_steps(state, t_batch, 8))
+                tl = time.time() - t0
+                per = (tl - ts) / 6
+                best = per if best is None else min(best, per)
+            note = ""
+            if dsph_ms is not None and best * 1e3 > 3 * dsph_ms:
+                note = f" ({best * 1e3 / dsph_ms:.1f}x DSPH)"
+            log(f"train step ({name}, B={B}, bf16 towers + BertAdam): "
+                f"{best * 1e3:.1f} ms -> {B / best:,.0f} samples/s/chip{note}")
+            if name == "DSPH":
+                dsph_ms = best * 1e3
+                dsph_step, dsph_state, dsph_batch = raw_step, state, t_batch
+        except Exception as e:  # noqa: BLE001
+            log(f"train-step bench failed [{name}]: {e}")
+
+    # secondary: end-to-end input pipeline — decoded-tensor cache streaming a
+    # real JPEG dataset into the DSPH train step (VERDICT item 4: the host
+    # must sustain the device's step rate; uncached decode measured ~151
+    # img/s on this 1-core host).  uint8 batches, normalize-on-device.
+    try:
+        import os
+        import shutil
+        import tempfile
+
+        from PIL import Image
+
+        from ccmh.data.cache import ImageCache
+        from ccmh.data.dataset import BatchIterator, CrossModalDataset
+        from ccmh.data.split import RawData
+
+        if dsph_step is None:
+            raise RuntimeError("DSPH step unavailable")
+        n_imgs = 1024
+        rng = np.random.RandomState(8)
+        tmp = tempfile.mkdtemp()
+        paths = []
+        for i in range(n_imgs):
+            w, h = rng.randint(280, 520), rng.randint(280, 520)
+            arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            p = os.path.join(tmp, f"{i}.jpg")
+            Image.fromarray(arr).save(p, quality=88)
+            paths.append(p)
+        caps = np.empty(n_imgs, object)
+        caps[:] = ["a photo of a thing" for _ in range(n_imgs)]
+        raw = RawData(captions=caps, indexes=np.asarray(paths, object),
+                      labels=(rng.rand(n_imgs, 80) < 0.1).astype(np.float32))
+        ds = CrossModalDataset(raw, is_train=True, max_words=32, resolution=224)
+        t0 = time.time()
+        cache = ImageCache.build(ds, os.path.join(tmp, "cache"))
+        t_build = time.time() - t0
+        it = BatchIterator(ds, B, shuffle=True, num_workers=8,
+                           image_cache=cache, drop_last=True)
+
+        # host-only streaming rate (memmap gather + tokenize, no device)
+        n_seen, t0 = 0, time.time()
+        for _ in range(2):
+            for b in it:
+                n_seen += b["image"].shape[0]
+        host_rate = n_seen / (time.time() - t0)
+
+        # fused epoch: cached loader feeding the real jitted DSPH step
+        import jax as _jax
+
+        step = _jax.jit(dsph_step, donate_argnums=(0,))
+        state = dsph_state
+        n_seen, t0 = 0, time.time()
+        for _ in range(2):
+            it.set_epoch(n_seen)  # distinct shuffles
+            for b in it:
+                jb = {k: jnp.asarray(v) for k, v in b.items() if k != "valid"}
+                jb["epoch"] = jnp.asarray(0, jnp.int32)
+                state, m = step(state, jb)
+                n_seen += b["image"].shape[0]
+        float(m["loss"])
+        epoch_rate = n_seen / (time.time() - t0)
+        pure = B / (dsph_ms / 1e3)
+        log(f"input pipeline (decoded-tensor cache, {n_imgs} JPEGs @224): "
+            f"build {t_build:.1f}s ({n_imgs / t_build:,.0f} img/s one-time), "
+            f"host stream {host_rate:,.0f} samples/s, "
+            f"cached epoch end-to-end {epoch_rate:,.0f} samples/s "
+            f"({100 * epoch_rate / pure:.0f}% of the {pure:,.0f}/s pure step)")
+        shutil.rmtree(tmp, ignore_errors=True)
     except Exception as e:  # noqa: BLE001
-        log(f"train-step bench failed: {e}")
+        log(f"input-pipeline bench failed: {e}")
 
     # secondary: native C++ loader host decode throughput vs PIL
     try:

@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "always the architecture of the loaded checkpoint")
     parser.add_argument("--no-vit-use", dest="vit_use", action="store_false")
     parser.add_argument("--num-workers", type=int, default=defaults.num_workers)
+    parser.add_argument("--cache-images", dest="cache_images", action="store_true",
+                        default=defaults.cache_images,
+                        help="decode each split once into a uint8 memmap cache and "
+                             "stream batches from it (transforms are deterministic, "
+                             "so this is lossless); normalization moves on-device")
+    parser.add_argument("--cache-dir", type=str, default=defaults.cache_dir,
+                        help="decoded-tensor cache location "
+                             "(default <data_dir>/_ccmh_cache)")
 
     parser.add_argument("--eval-batch", type=int, default=defaults.eval_batch)
     parser.add_argument("--compute-dtype", type=str, default=defaults.compute_dtype)
@@ -123,6 +131,7 @@ def config_from_args(argv=None) -> Config:
         save_mat=args.save_mat, save_model=args.save_model,
         save_csv=args.save_csv, valid=args.valid, vit_use=args.vit_use,
         num_workers=args.num_workers,
+        cache_images=args.cache_images, cache_dir=args.cache_dir,
         compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
         resume=args.resume, profile=args.profile,
         mesh_shape=tuple(int(x) for x in args.mesh.split(",")),

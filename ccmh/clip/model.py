@@ -232,6 +232,27 @@ def transformer(
 # vision tower
 # ---------------------------------------------------------------------------
 
+# CLIP pixel normalization constants (dataset/base.py:39); live here as well
+# as in the host pipeline because uint8 batches normalize on-device.
+CLIP_PIXEL_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_PIXEL_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def normalize_pixels(images: jax.Array) -> jax.Array:
+    """uint8 [B, H, W, 3] -> CLIP-normalized float32.
+
+    Same op order as the host pipeline (data/dataset.py _transform:
+    /255, -mean, /std, all in float32) so a cached-uint8 batch normalized
+    on-device is bit-identical to the host float path.  Keeping batches
+    uint8 until this point cuts host->device transfer 4x and removes the
+    per-batch normalize from the host entirely (the input-pipeline path,
+    data/cache.py)."""
+    x = images.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(CLIP_PIXEL_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_PIXEL_STD, jnp.float32)
+    return (x - mean) / std
+
+
 def patchify(images: jax.Array, patch: int) -> jax.Array:
     """[B, H, W, 3] -> [B, (H/p)*(W/p), p*p*3] non-overlapping patches.
 
@@ -261,6 +282,8 @@ def vision_forward(
     "mith":   ln_post applied to *all* tokens, all projected, plus the
               last-layer cls->patch attention row (model/MITH.py:57-83).
     """
+    if images.dtype == jnp.uint8:
+        images = normalize_pixels(images)
     if cfg.is_resnet:
         if features != "pooled":
             raise ValueError(

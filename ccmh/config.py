@@ -206,6 +206,8 @@ class Config:
     max_words: int = 32
     vit_use: bool = True
     num_workers: int = 8                  # host data-pipeline threads
+    cache_images: bool = False            # decoded-tensor cache (data/cache.py)
+    cache_dir: str = ""                   # default: <data_dir>/_ccmh_cache
 
     # TPU-specific
     mesh_shape: Tuple[int, ...] = (1,)    # data-parallel mesh ("data" axis)

@@ -1,0 +1,160 @@
+"""Decoded-tensor image cache: decode once, stream every epoch.
+
+The reference hides decode cost behind 8 torch DataLoader worker processes
+(train/base.py:87-92) and still re-decodes every JPEG every epoch.  Both of
+this pipeline's transforms are *deterministic* per item (resize + center
+crop for train, square resize for eval — dataset/base.py:35-44, no random
+augmentation), so the decoded image can be cached losslessly: one decode
+pass at dataset-prep time into a uint8 NHWC memmap, then every epoch is a
+pure memmap gather.  Batches stay uint8 all the way to the device (4x less
+host->device transfer than float32) and CLIP normalization happens inside
+the jitted step (clip/model.py normalize_pixels), so steady-state host cost
+per batch is ~a memcpy — the TPU never waits on JPEG decode.
+
+Layout of a cache directory:
+
+    images.u8   raw C-order uint8 array, shape (N, R, R, 3)
+    meta.json   {"n", "resolution", "is_train", "fingerprint"} — written
+                last, so its presence marks a complete build; the
+                fingerprint ties the cache to the dataset's sources.
+
+Cache payload is the post-resize uint8 image (what PIL yields before
+ToTensor), bit-identical between the native loader and the PIL fallback,
+and between cached and uncached runs (tests/test_cache.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from ccmh.data.dataset import CrossModalDataset
+
+_DATA = "images.u8"
+_META = "meta.json"
+
+
+def dataset_fingerprint(dataset: CrossModalDataset) -> str:
+    """Identity of (sources, resolution, transform) — a cache built for a
+    different split/resolution/transform must never be silently reused."""
+    h = hashlib.sha256()
+    h.update(f"v1|n={len(dataset)}|r={dataset.resolution}|"
+             f"train={int(dataset.is_train)}|".encode())
+    for i in range(len(dataset)):
+        src = dataset.raw.indexes[i]
+        if isinstance(src, np.ndarray) and src.ndim >= 2:
+            # in-memory image: hash the pixels (bounded — sample large
+            # arrays).  Items of an object-dtype container surface as
+            # object-dtype views; normalize to a concrete dtype first.
+            arr = np.ascontiguousarray(src)
+            if arr.dtype == object:
+                arr = arr.astype(np.float32)
+            h.update(f"arr{arr.shape}{arr.dtype}".encode())
+            flat = arr.view(np.uint8).ravel()
+            h.update(flat[:: max(1, flat.size // 65536)].tobytes())
+        else:
+            path = dataset.image_path(i)
+            if path is None:  # non-JPEG path source
+                s = src.item() if isinstance(src, np.ndarray) else src
+                path = str(s)
+            h.update(path.encode())
+        h.update(b"|")
+    return h.hexdigest()
+
+
+class ImageCache:
+    """Read view over a built cache directory."""
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, _META)) as fh:
+            self.meta = json.load(fh)
+        self.path = path
+        n, r = self.meta["n"], self.meta["resolution"]
+        self.images = np.memmap(os.path.join(path, _DATA), np.uint8,
+                                mode="r", shape=(n, r, r, 3))
+
+    def __len__(self) -> int:
+        return int(self.meta["n"])
+
+    def gather(self, idx: np.ndarray) -> np.ndarray:
+        """[B] indices -> [B, R, R, 3] uint8 (copies out of the memmap so
+        batches own their memory once handed to the device)."""
+        return np.ascontiguousarray(self.images[np.asarray(idx)])
+
+    @staticmethod
+    def build(
+        dataset: CrossModalDataset,
+        path: str,
+        *,
+        num_workers: int = 8,
+        chunk: int = 512,
+        force: bool = False,
+        logger=None,
+    ) -> "ImageCache":
+        """Open ``path`` if it already holds a complete, fingerprint-matching
+        cache for ``dataset``; otherwise decode every item into it.
+
+        Decode uses the native C++ batch loader for JPEG paths (all cores,
+        GIL-free) and PIL threads for everything else.  The data file is
+        written under a per-pid tmp name and renamed only when complete, and
+        meta.json is written after that — a crashed or concurrent build can
+        never be mistaken for a finished one.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        fp = dataset_fingerprint(dataset)
+        meta_path = os.path.join(path, _META)
+        if not force and os.path.exists(meta_path):
+            try:
+                cache = ImageCache(path)
+                if cache.meta.get("fingerprint") == fp:
+                    return cache
+            except (OSError, ValueError, KeyError):
+                pass  # corrupt/partial — rebuild
+        os.makedirs(path, exist_ok=True)
+
+        n, r = len(dataset), dataset.resolution
+        tmp = os.path.join(path, f"{_DATA}.tmp.{os.getpid()}")
+        out = np.memmap(tmp, np.uint8, mode="w+", shape=(n, r, r, 3))
+        try:
+            from ccmh.data import native
+
+            use_native = native.available()
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                for start in range(0, n, chunk):
+                    idx = range(start, min(start + chunk, n))
+                    paths = [dataset.image_path(i) for i in idx]
+                    todo = list(idx)
+                    if use_native and all(p is not None for p in paths):
+                        _, ok = native.decode_batch_u8(
+                            paths, r, dataset.is_train, out=out[start:start + len(paths)])
+                        todo = [i for i, good in zip(idx, ok) if not good]
+                    for i, img in zip(todo, pool.map(dataset.load_image_u8, todo)):
+                        out[i] = img
+                    if logger is not None and start % (chunk * 16) == 0:
+                        logger.info(f"image cache {path}: {start}/{n}")
+            out.flush()
+            del out
+            os.replace(tmp, os.path.join(path, _DATA))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        with open(meta_path + f".tmp.{os.getpid()}", "w") as fh:
+            json.dump({"n": n, "resolution": r,
+                       "is_train": bool(dataset.is_train), "fingerprint": fp}, fh)
+        os.replace(meta_path + f".tmp.{os.getpid()}", meta_path)
+        return ImageCache(path)
+
+
+def open_or_build(
+    dataset: CrossModalDataset, base_dir: str, split: str,
+    *, num_workers: int = 8, logger=None,
+) -> Optional[ImageCache]:
+    """Cache for one split under ``base_dir`` with a self-describing name."""
+    kind = "train" if dataset.is_train else "eval"
+    path = os.path.join(base_dir, f"{split}_r{dataset.resolution}_{kind}")
+    return ImageCache.build(dataset, path, num_workers=num_workers, logger=logger)

@@ -44,7 +44,10 @@ def _to_pil(source):
     return Image.open(str(path).strip()).convert("RGB")
 
 
-def _transform(img, resolution: int, is_train: bool) -> np.ndarray:
+def _transform_u8(img, resolution: int, is_train: bool) -> np.ndarray:
+    """Resize(+crop) only — the post-resize uint8 image PIL yields before
+    ToTensor.  Both transforms are deterministic per item, which is what
+    makes the decoded-tensor cache (data/cache.py) lossless."""
     from PIL import Image
 
     if is_train:
@@ -58,8 +61,17 @@ def _transform(img, resolution: int, is_train: bool) -> np.ndarray:
         img = img.crop((left, top, left + resolution, top + resolution))
     else:
         img = img.resize((resolution, resolution), Image.BICUBIC)
-    arr = np.asarray(img, np.float32) / 255.0
-    return (arr - CLIP_MEAN) / CLIP_STD
+    return np.asarray(img, np.uint8)
+
+
+def normalize_u8(arr: np.ndarray) -> np.ndarray:
+    """uint8 -> CLIP-normalized float32 (host side; the on-device twin is
+    clip/model.py normalize_pixels — identical op order for bit parity)."""
+    return (arr.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+
+
+def _transform(img, resolution: int, is_train: bool) -> np.ndarray:
+    return normalize_u8(_transform_u8(img, resolution, is_train))
 
 
 class CrossModalDataset:
@@ -129,6 +141,11 @@ class CrossModalDataset:
             _to_pil(self.raw.indexes[i]), self.resolution, self.is_train
         ).astype(np.float32)
 
+    def load_image_u8(self, i: int) -> np.ndarray:
+        """Post-resize uint8 image (pre-normalization) — the cache payload."""
+        return _transform_u8(
+            _to_pil(self.raw.indexes[i]), self.resolution, self.is_train)
+
     def meta_item(self, i: int) -> Dict[str, np.ndarray]:
         """Everything except the decoded image (used by the native batch
         loader path, which fills images separately)."""
@@ -168,6 +185,7 @@ class BatchIterator:
         num_workers: int = 8,
         prefetch: int = 2,
         drop_last: bool = False,
+        image_cache=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -177,6 +195,10 @@ class BatchIterator:
         self.drop_last = drop_last
         self.seed = seed
         self._epoch = 0
+        # data/cache.py ImageCache: batches then carry post-resize uint8
+        # images straight from the memmap (no decode, no host normalize —
+        # normalization happens on-device, clip/model.py normalize_pixels)
+        self.image_cache = image_cache
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the shuffle to an epoch index.  Each epoch's permutation is a
@@ -190,6 +212,14 @@ class BatchIterator:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _assemble(self, idx_batch: np.ndarray, n_valid: int, pool) -> Dict[str, np.ndarray]:
+        if self.image_cache is not None:
+            items = list(pool.map(self.dataset.meta_item, idx_batch))
+            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+            batch["image"] = self.image_cache.gather(idx_batch)
+            valid = np.zeros(len(idx_batch), bool)
+            valid[:n_valid] = True
+            batch["valid"] = valid
+            return batch
         images = self._native_images(idx_batch, pool)
         if images is not None:
             items = list(pool.map(self.dataset.meta_item, idx_batch))

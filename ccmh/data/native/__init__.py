@@ -57,6 +57,12 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
+    lib.ccmh_batch_load_u8.restype = ctypes.c_int
+    lib.ccmh_batch_load_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
     return lib
 
 
@@ -100,6 +106,37 @@ def decode_batch(
     lib.ccmh_batch_load(
         c_paths, n, resolution, int(is_train),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads,
+    )
+    return out, ok.astype(bool)
+
+
+def decode_batch_u8(
+    paths: Sequence[str],
+    resolution: int,
+    is_train: bool,
+    n_threads: int = 0,
+    out: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode ``paths`` into [N, R, R, 3] uint8 (post-resize, pre-normalize
+    — bit-identical to what PIL yields before ToTensor).  Feeds the
+    decoded-tensor cache (data/cache.py); ``out`` may be a caller-provided
+    C-contiguous uint8 view (e.g. a memmap slice) to decode in place."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    n = len(paths)
+    if out is None:
+        out = np.empty((n, resolution, resolution, 3), np.uint8)
+    assert out.dtype == np.uint8 and out.flags.c_contiguous
+    ok = np.zeros(n, np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads <= 0:
+        n_threads = min(n, os.cpu_count() or 8)
+    lib.ccmh_batch_load_u8(
+        c_paths, n, resolution, int(is_train),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n_threads,
     )

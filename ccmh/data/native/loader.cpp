@@ -172,8 +172,13 @@ void resize_rgb(const float* src, int sw, int sh, float* dst, int dw, int dh) {
 }
 
 // One item: decode -> (train: short-side resize + center crop | eval:
-// square resize) -> normalize into out[R, R, 3].
-bool load_one(const char* path, int resolution, int is_train, float* out) {
+// square resize) -> exactly one of:
+//   out_f32[R, R, 3]  CLIP-normalized float32 (the direct feed path)
+//   out_u8 [R, R, 3]  post-resize uint8, pre-normalization (the decoded-
+//                     tensor cache path, data/cache.py — normalization then
+//                     happens on-device, clip/model.py normalize_pixels)
+bool load_one(const char* path, int resolution, int is_train, float* out_f32,
+              uint8_t* out_u8) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
   if (!decode_jpeg(path, rgb, w, h)) return false;
@@ -212,13 +217,17 @@ bool load_one(const char* path, int resolution, int is_train, float* out) {
   const int top = (ch - R) / 2;
   for (int y = 0; y < R; ++y) {
     const float* srow = crop_src + (static_cast<size_t>(top + y) * cw + left) * 3;
-    float* drow = out + static_cast<size_t>(y) * R * 3;
     for (int x = 0; x < R; ++x) {
       for (int c = 0; c < 3; ++c) {
         // PIL rounds the resampled float back to uint8 (half up) pre-ToTensor
         float v = std::min(std::max(srow[x * 3 + c], 0.0f), 255.0f);
-        v = static_cast<float>(static_cast<int>(v + 0.5f)) * (1.0f / 255.0f);
-        drow[x * 3 + c] = (v - kMean[c]) / kStd[c];
+        const int q = static_cast<int>(v + 0.5f);
+        const size_t o = (static_cast<size_t>(y) * R + x) * 3 + c;
+        if (out_u8 != nullptr) {
+          out_u8[o] = static_cast<uint8_t>(q);
+        } else {
+          out_f32[o] = (static_cast<float>(q) * (1.0f / 255.0f) - kMean[c]) / kStd[c];
+        }
       }
     }
   }
@@ -241,7 +250,34 @@ int ccmh_batch_load(const char** paths, int n, int resolution, int is_train,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) break;
-      const bool good = load_one(paths[i], resolution, is_train, out + stride * i);
+      const bool good =
+          load_one(paths[i], resolution, is_train, out + stride * i, nullptr);
+      ok[i] = good ? 1 : 0;
+      if (!good) failures.fetch_add(1);
+    }
+  };
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  return failures.load();
+}
+
+// uint8 variant feeding the decoded-tensor cache: identical decode/resize/
+// crop, output is the post-resize uint8 image (what PIL yields before
+// ToTensor), so cached bytes are bit-identical to the PIL fallback path.
+int ccmh_batch_load_u8(const char** paths, int n, int resolution, int is_train,
+                       uint8_t* out, uint8_t* ok, int n_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t stride = static_cast<size_t>(resolution) * resolution * 3;
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      const bool good =
+          load_one(paths[i], resolution, is_train, nullptr, out + stride * i);
       ok[i] = good ? 1 : 0;
       if (!good) failures.fetch_add(1);
     }

@@ -94,15 +94,29 @@ class Trainer:
             self.cfg.nclass = self.query_labels.shape[1]
 
         nw = getattr(cfg, "num_workers", 8)
+        caches = {"train": None, "query": None, "retrieval": None}
+        if getattr(cfg, "cache_images", False):
+            # decode each split ONCE into a uint8 memmap; epochs then stream
+            # from it and normalization moves on-device (data/cache.py)
+            from ccmh.data.cache import open_or_build
+
+            base = cfg.cache_dir or os.path.join(
+                cfg.data_dir or cfg.save_dir, "_ccmh_cache")
+            for split, ds in (("train", self.train_data),
+                              ("query", self.query_data),
+                              ("retrieval", self.retrieval_data)):
+                caches[split] = open_or_build(ds, base, split, num_workers=nw,
+                                              logger=self.logger)
+            self.logger.info(f"decoded-tensor image caches ready under {base}")
         self.train_loader = BatchIterator(
             self.train_data, cfg.batch_size, shuffle=True, seed=cfg.seed,
-            num_workers=nw)
+            num_workers=nw, image_cache=caches["train"])
         self.query_loader = BatchIterator(
             self.query_data, cfg.eval_batch, shuffle=False, seed=cfg.seed,
-            num_workers=nw)
+            num_workers=nw, image_cache=caches["query"])
         self.retrieval_loader = BatchIterator(
             self.retrieval_data, cfg.eval_batch, shuffle=False, seed=cfg.seed,
-            num_workers=nw)
+            num_workers=nw, image_cache=caches["retrieval"])
 
     # ----------------------------------------------------------------- model
     def _init_model(self, clip_cfg: Optional[ClipConfig], clip_params):
