@@ -113,13 +113,14 @@ def main():
     labels = jnp.asarray(
         (np.random.RandomState(4).rand(B, 80) < 0.1).astype(np.float32))
 
-    def build_method_step(name: str):
+    def build_method_step(name: str, remat: bool = False):
         from ccmh.config import Config
         from ccmh.train.methods import get_method
         from ccmh.train.state import init_state, make_main_optimizer, make_train_step
 
         t_cfg = Config(method=name, output_dim=64, nclass=80, batch_size=B,
-                       train_num=4096, epochs=1, compute_dtype="bfloat16")
+                       train_num=4096, epochs=1, compute_dtype="bfloat16",
+                       remat=remat)
         method = get_method(name)
         mkey = jax.random.PRNGKey(3)
         heads, extra, aux = method.init(mkey, t_cfg, cfg)
@@ -156,9 +157,10 @@ def main():
 
         return run_steps, state, t_batch, raw_step
 
-    for name in ("DSPH", "MITH", "DPBE", "DGHDGH", "DHaPH"):
+    def bench_method(name: str, remat: bool = False):
+        nonlocal dsph_ms, dsph_step, dsph_state, dsph_batch
         try:
-            run_steps, state, t_batch, raw_step = build_method_step(name)
+            run_steps, state, t_batch, raw_step = build_method_step(name, remat)
             float(run_steps(state, t_batch, 2))
             best = None
             for _ in range(2):
@@ -170,9 +172,9 @@ def main():
                 tl = time.time() - t0
                 per = (tl - ts) / 6
                 best = per if best is None else min(best, per)
-            note = ""
+            note = " [remat]" if remat else ""
             if dsph_ms is not None and best * 1e3 > 3 * dsph_ms:
-                note = f" ({best * 1e3 / dsph_ms:.1f}x DSPH)"
+                note += f" ({best * 1e3 / dsph_ms:.1f}x DSPH)"
             log(f"train step ({name}, B={B}, bf16 towers + BertAdam): "
                 f"{best * 1e3:.1f} ms -> {B / best:,.0f} samples/s/chip{note}")
             if name == "DSPH":
@@ -180,6 +182,18 @@ def main():
                 dsph_step, dsph_state, dsph_batch = raw_step, state, t_batch
         except Exception as e:  # noqa: BLE001
             log(f"train-step bench failed [{name}]: {e}")
+        finally:
+            # release this method's ~2 GB of params/opt-state/executables
+            # before the next one compiles: leaked HBM across 5 methods
+            # otherwise drives later methods into RESOURCE_EXHAUSTED
+            import gc
+
+            if name != "DSPH":
+                run_steps = state = t_batch = raw_step = None  # noqa: F841
+                gc.collect()
+                jax.clear_caches()
+
+    bench_method("DSPH")
 
     # secondary: end-to-end input pipeline — decoded-tensor cache streaming a
     # real JPEG dataset into the DSPH train step (VERDICT item 4: the host
@@ -226,6 +240,20 @@ def main():
                 n_seen += b["image"].shape[0]
         host_rate = n_seen / (time.time() - t0)
 
+        # quantify the host->device link (the relay-attached chip on this
+        # host serializes puts; on a PCIe-attached production host this is
+        # multi-GB/s and the cached epoch tracks the pure step rate)
+        probe = next(iter(it))["image"]
+        jax.block_until_ready(jnp.asarray(probe))
+        t0 = time.time()
+        for _ in range(3):
+            jax.block_until_ready(jnp.asarray(probe.copy()))
+        t_put = (time.time() - t0) / 3
+        put_rate = probe.nbytes / t_put / 2**20
+        log(f"host->device put ({probe.nbytes / 2**20:.0f} MiB uint8 batch): "
+            f"{t_put * 1e3:.0f} ms -> {put_rate:,.0f} MiB/s "
+            f"(float32 batches would be 4x larger)")
+
         # fused epoch: cached loader feeding the real jitted DSPH step
         import jax as _jax
 
@@ -250,6 +278,14 @@ def main():
         shutil.rmtree(tmp, ignore_errors=True)
     except Exception as e:  # noqa: BLE001
         log(f"input-pipeline bench failed: {e}")
+
+    # done with the DSPH step: free its params/opt state before the
+    # gallery benches and the heavy per-method sweep below
+    dsph_step = dsph_state = dsph_batch = None
+    import gc as _gc
+
+    _gc.collect()
+    jax.clear_caches()
 
     # secondary: native C++ loader host decode throughput vs PIL
     try:
@@ -343,6 +379,14 @@ def main():
                 f"{time.time() - t0:.3f}s (mAP={v:.4f}) target <1s")
     except Exception as e:  # noqa: BLE001 - secondary metric must not kill bench
         log(f"mAP bench failed: {e}")
+
+    # per-method train-step sweep LAST: an OOM/compile failure in one heavy
+    # method must not poison the metrics above (a failed allocation can wedge
+    # the backend for the rest of the process).  MITH runs with remat — its
+    # token pipeline at B=256 exceeds 16 GB HBM holding all 12 layers'
+    # activations (train/MITH/hash_train.py:62-200 is the heaviest ref step).
+    for name in ("MITH", "DPBE", "DGHDGH", "DHaPH"):
+        bench_method(name, remat=(name == "MITH"))
 
 
 

@@ -82,9 +82,20 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cache-dir", type=str, default=defaults.cache_dir,
                         help="decoded-tensor cache location "
                              "(default <data_dir>/_ccmh_cache)")
+    parser.add_argument("--no-ragged-last", dest="ragged_last",
+                        action="store_false", default=defaults.ragged_last,
+                        help="wrap-pad the final train batch to the fixed "
+                             "batch shape instead of training it at its true "
+                             "(reference-parity) size — skips one extra "
+                             "remainder-shape compile")
 
     parser.add_argument("--eval-batch", type=int, default=defaults.eval_batch)
     parser.add_argument("--compute-dtype", type=str, default=defaults.compute_dtype)
+    parser.add_argument("--remat", action="store_true", default=defaults.remat,
+                        help="rematerialize tower activations in the backward "
+                             "pass (~1 extra forward of FLOPs for ~12x less "
+                             "activation HBM; lets memory-heavy methods like "
+                             "MITH run large batches on one chip)")
     parser.add_argument("--checkpoint-every", type=int, default=defaults.checkpoint_every)
     parser.add_argument("--resume", action="store_true", default=defaults.resume,
                         help="auto-resume full training state from save_dir/state_ckpt")
@@ -132,7 +143,9 @@ def config_from_args(argv=None) -> Config:
         save_csv=args.save_csv, valid=args.valid, vit_use=args.vit_use,
         num_workers=args.num_workers,
         cache_images=args.cache_images, cache_dir=args.cache_dir,
-        compute_dtype=args.compute_dtype, checkpoint_every=args.checkpoint_every,
+        ragged_last=args.ragged_last,
+        compute_dtype=args.compute_dtype, remat=args.remat,
+        checkpoint_every=args.checkpoint_every,
         resume=args.resume, profile=args.profile,
         mesh_shape=tuple(int(x) for x in args.mesh.split(",")),
     )

@@ -1,0 +1,133 @@
+"""Import reference-trained model checkpoints (.pth) into ccmh params.
+
+The reference trainer saves ``model.state_dict()`` per epoch
+(train/base.py:225-227): a flat dict of ``clip.*`` tensors (the full CLIP
+tower) plus the method's head modules (``image_hash.*`` / ``text_hash.*``
+and friends).  This module maps such a state dict onto the ccmh param tree
+so a reference-trained model can be evaluated (or fine-tuned) here —
+cross-framework validation in both directions: ccmh npz -> anywhere, and
+reference .pth -> ccmh.
+
+Supported methods cover every reference model whose evaluation path is
+CLIP + its saved head modules:
+
+  LinearHash family   DSPH, DNpH (TMM), DMsH_LN, DScPH, DDWSH, DDBH,
+                      DHaPH  (model/modelbase.py:25-35, heads untouched)
+  DNPH (TOMM)         + image_pre/text_pre label predictors
+                      (model/DNPH_TOMM.py:7-31)
+  DCHMT               HashLayer: fc->128 relu + K Linear(128,2) pairs
+                      (model/DCHMT.py:8-28), fused into select-hash params
+  DPBE                Sequential(Linear, L2Norm) heads (model/DPBE.py:23-25)
+
+MITH / TwDH / DPSIH / DGHDGH models carry method-specific module graphs
+(model/MITH.py, model/TwDH.py, ...) that do not exist reference-trained in
+this environment to validate against; importing them raises with a message
+naming the unmapped modules rather than silently dropping weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from ccmh.clip.convert import convert_state_dict
+from ccmh.clip.model import ClipConfig
+
+Params = Dict[str, Any]
+
+# methods whose reference model keeps the plain Baseclip LinearHash heads
+_LINEAR_FAMILY = ("DSPH", "DNpH", "DMsH_LN", "DScPH", "DDWSH", "DDBH", "DHaPH")
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.array(t, copy=True)
+
+
+def _linear(sd: Dict[str, Any], prefix: str) -> Params:
+    """torch nn.Linear -> {w: [in, out], b: [out]} (JAX y = x @ w + b)."""
+    return {"w": _np(sd[f"{prefix}.weight"]).T, "b": _np(sd[f"{prefix}.bias"])}
+
+
+def _heads_linear_family(sd) -> Params:
+    return {"img_head": _linear(sd, "image_hash.fc"),
+            "txt_head": _linear(sd, "text_hash.fc")}
+
+
+def _heads_dnph(sd) -> Params:
+    heads = _heads_linear_family(sd)
+    heads["img_pre"] = _linear(sd, "image_pre.fc")
+    heads["txt_pre"] = _linear(sd, "text_pre.fc")
+    return heads
+
+
+def _heads_dpbe(sd) -> Params:
+    # Sequential(Linear, L2Norm) -> module key "image_hash.0"
+    return {"img_head": _linear(sd, "image_hash.0"),
+            "txt_head": _linear(sd, "text_hash.0")}
+
+
+def _select_hash(sd, module: str) -> Params:
+    """DCHMT HashLayer (model/DCHMT.py:8-28): fc (E->128) + K independent
+    Linear(128, 2), fused into the ccmh select-hash layout
+    (models/heads.py init_select_hash: pairs_w [128, K, 2])."""
+    fc = _linear(sd, f"{module}.fc")
+    k = 0
+    while f"{module}.hash_list.{k}.weight" in sd:
+        k += 1
+    if k == 0:
+        raise KeyError(f"{module}.hash_list.0.weight")
+    pairs_w = np.stack(
+        [_np(sd[f"{module}.hash_list.{i}.weight"]).T for i in range(k)], axis=1)
+    pairs_b = np.stack([_np(sd[f"{module}.hash_list.{i}.bias"]) for i in range(k)])
+    return {"fc_w": fc["w"], "fc_b": fc["b"],
+            "pairs_w": pairs_w, "pairs_b": pairs_b}
+
+
+def _heads_dchmt(sd) -> Params:
+    return {"img_head": _select_hash(sd, "image_hash"),
+            "txt_head": _select_hash(sd, "text_hash")}
+
+
+_HEAD_IMPORTERS = {
+    **{m: _heads_linear_family for m in _LINEAR_FAMILY},
+    "DNPH": _heads_dnph,
+    "DPBE": _heads_dpbe,
+    "DCHMT": _heads_dchmt,
+}
+
+
+def import_reference_state_dict(
+    sd: Dict[str, Any], method: str,
+) -> Tuple[Params, ClipConfig]:
+    """Reference trainer ``model.state_dict()`` -> (ccmh params, clip cfg).
+
+    The returned tree has the same structure as ``Trainer.state.params``
+    for ``method``: ``{"clip": ..., "img_head": ..., ...}``.
+    """
+    importer = _HEAD_IMPORTERS.get(method)
+    if importer is None:
+        extra_modules = sorted(
+            {k.split(".")[0] for k in sd if not k.startswith("clip.")})
+        raise NotImplementedError(
+            f"importing reference {method} checkpoints is not supported: the "
+            f"model carries method-specific modules {extra_modules} "
+            f"(model/{method}.py) with no one-to-one ccmh mapping; evaluate "
+            f"it with the reference code or retrain here")
+    clip_sd = {k[len("clip."):]: v for k, v in sd.items() if k.startswith("clip.")}
+    if not clip_sd:
+        raise ValueError(
+            "no clip.* keys — is this a trainer model-<epoch>.pth? (raw CLIP "
+            ".pt archives load via --clip-path, clip/convert.py)")
+    clip_params, clip_cfg = convert_state_dict(clip_sd)
+    return {"clip": clip_params, **importer(sd)}, clip_cfg
+
+
+def import_reference_pth(path: str, method: str) -> Tuple[Params, ClipConfig]:
+    """Load a reference trainer ``model-<epoch>.pth`` from disk."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return import_reference_state_dict(sd, method)

@@ -205,17 +205,30 @@ def transformer(
     n_head: int,
     attn_bias: Optional[jax.Array] = None,
     need_last_attn: bool = False,
+    remat: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
-    """Run all blocks via lax.scan over the stacked layer parameters."""
+    """Run all blocks via lax.scan over the stacked layer parameters.
+
+    ``remat=True`` wraps each block in ``jax.checkpoint``: the backward pass
+    recomputes block activations instead of holding all L layers' [B, L, 4W]
+    intermediates in HBM — ~1 extra forward of FLOPs for ~L x less
+    activation memory.  Off by default (the plain towers fit comfortably);
+    methods whose step carries large extra state (MITH's token pipeline at
+    B=256 overflows a 16 GB chip without it) enable it via ``cfg.remat``."""
     if stacked["ln_1"]["scale"].dtype != x.dtype:
         # bf16 compute: cast weights once here; layer_norm still reduces in
         # fp32 internally (fp16-safe LayerNorm parity).
         stacked = jax.tree.map(lambda t: t.astype(x.dtype), stacked)
     n_layers = stacked["ln_1"]["scale"].shape[0]
 
+    def block_fn(carry, layer_params):
+        return _block(carry, layer_params, n_head, attn_bias)[0]
+
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
+
     def body(carry, layer_params):
-        y, _ = _block(carry, layer_params, n_head, attn_bias)
-        return y, None
+        return block_fn(carry, layer_params), None
 
     if not need_last_attn:
         x, _ = jax.lax.scan(body, x, stacked)
@@ -273,6 +286,7 @@ def vision_forward(
     *,
     dtype: jnp.dtype = jnp.float32,
     features: str = "pooled",
+    remat: bool = False,
 ) -> VisionOutput:
     """ViT forward.  ``features``: "pooled" | "tokens" | "mith".
 
@@ -301,7 +315,8 @@ def vision_forward(
     x = layer_norm(x, p["ln_pre"]["scale"], p["ln_pre"]["bias"])
 
     need_attn = features == "mith"
-    x, attn = transformer(x, p["blocks"], cfg.vision_heads, None, need_last_attn=need_attn)
+    x, attn = transformer(x, p["blocks"], cfg.vision_heads, None,
+                          need_last_attn=need_attn, remat=remat)
 
     if features == "mith":
         h = layer_norm(x, p["ln_post"]["scale"], p["ln_post"]["bias"])
@@ -339,6 +354,7 @@ def text_forward(
     dtype: jnp.dtype = jnp.float32,
     features: str = "pooled",
     key_padding_mask: Optional[jax.Array] = None,
+    remat: bool = False,
 ) -> TextOutput:
     """Causal text transformer with EOT pooling.
 
@@ -359,7 +375,8 @@ def text_forward(
         bias = bias[None, None, :, :] + kp[:, None, None, :]
 
     need_attn = features == "mith"
-    x, attn = transformer(x, p["blocks"], cfg.transformer_heads, bias, need_last_attn=need_attn)
+    x, attn = transformer(x, p["blocks"], cfg.transformer_heads, bias,
+                          need_last_attn=need_attn, remat=remat)
 
     eos_pos = jnp.argmax(ids, axis=-1)                     # [B]
     h = layer_norm(x, p["ln_final"]["scale"], p["ln_final"]["bias"])

@@ -208,8 +208,10 @@ class Config:
     num_workers: int = 8                  # host data-pipeline threads
     cache_images: bool = False            # decoded-tensor cache (data/cache.py)
     cache_dir: str = ""                   # default: <data_dir>/_ccmh_cache
+    ragged_last: bool = True              # true-size final train batch (ref parity)
 
     # TPU-specific
+    remat: bool = False                   # recompute tower activations in bwd
     mesh_shape: Tuple[int, ...] = (1,)    # data-parallel mesh ("data" axis)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"        # "bfloat16" for production

@@ -165,14 +165,16 @@ class CrossModalDataset:
 
 
 class BatchIterator:
-    """Threaded, prefetching batch producer with fixed-shape full batches.
+    """Threaded, prefetching batch producer.
 
-    Yields dicts of stacked numpy arrays.  The final partial batch is padded
-    by *wrapping* (repeating leading items) with a ``valid`` mask so every
-    batch has an identical shape — one XLA compilation per (method, batch
-    size).  Training losses may ignore ``valid`` (the reference also trains
-    on ragged final batches, so wrapped duplicates are an equally valid
-    sampling); eval code extraction must honour it when scattering codes.
+    Yields dicts of stacked numpy arrays.  By default the final partial
+    batch is padded by *wrapping* (repeating leading items) with a ``valid``
+    mask so every batch has an identical shape — one XLA compilation per
+    (method, batch size); eval code extraction honours ``valid`` when
+    scattering codes.  With ``ragged_last=True`` the final batch is instead
+    yielded at its true size (exact reference train semantics for
+    batch-statistics losses, train/base.py:87-92) and XLA compiles one extra
+    program at the remainder shape — the Trainer's single-chip default.
     """
 
     def __init__(
@@ -186,6 +188,7 @@ class BatchIterator:
         prefetch: int = 2,
         drop_last: bool = False,
         image_cache=None,
+        ragged_last: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -195,6 +198,13 @@ class BatchIterator:
         self.drop_last = drop_last
         self.seed = seed
         self._epoch = 0
+        # ragged_last=True yields the final partial batch at its true size
+        # instead of wrap-padding: exact reference semantics for batch-
+        # statistics losses (the ragged torch batch, train/base.py:87-92) at
+        # the cost of ONE extra XLA compile at the remainder shape.  The
+        # trainer uses it on single-chip runs; mesh runs keep wrap-padding
+        # (the remainder rarely divides the mesh).
+        self.ragged_last = ragged_last
         # data/cache.py ImageCache: batches then carry post-resize uint8
         # images straight from the memmap (no decode, no host normalize —
         # normalization happens on-device, clip/model.py normalize_pixels)
@@ -271,7 +281,8 @@ class BatchIterator:
                 for s in starts:
                     chunk = order[s : s + self.batch_size]
                     n_valid = len(chunk)
-                    if n_valid < self.batch_size:  # wrap-pad to a full batch
+                    if n_valid < self.batch_size and not self.ragged_last:
+                        # wrap-pad to a full batch (fixed compile shape)
                         pad = order[: self.batch_size - n_valid]
                         chunk = np.concatenate([chunk, pad])
                     queue.put(self._assemble(chunk, n_valid, pool))

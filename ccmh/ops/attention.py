@@ -35,11 +35,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_block_b(batch: int, target: int = 8) -> int:
-    for bb in range(min(target, batch), 0, -1):
-        if batch % bb == 0:
-            return bb
-    return 1
+# Per-core VMEM is 16 MiB on v5e; leave headroom for the pipeline's double
+# buffers and the compiler's own scratch.  Block sizes are chosen so the
+# blocks + softmax temporaries fit: at the CLIP towers' bf16/L=50 shapes the
+# preferred block_b=16 passes untouched, while larger-L or fp32 callers
+# (MITH's 64-token token-interaction stack runs fp32) scale down instead of
+# dying with a scoped-vmem OOM at compile time.
+_VMEM_BUDGET = 14 * 2**20
+
+
+def _pick_block_b(batch: int, target: int, L: int, D3: int, itemsize: int,
+                  *, backward: bool) -> int:
+    D = D3 // 3
+    # double-buffered in/out blocks per batch element...
+    per_elem = 2 * (L * D3 + L * D + (L * D3 if backward else 0)) * itemsize
+    # ...plus the per-head fp32 logits/probs (and dprobs/dlogits) temps
+    temp_per_elem = (4 if backward else 2) * L * L * 4
+    bb = max(1, min(target, batch, _VMEM_BUDGET // (per_elem + temp_per_elem)))
+    while bb > 1 and batch % bb:
+        bb -= 1
+    return bb
 
 
 def _kernel(qkv_ref, out_ref, *, n_head: int, head_dim: int, has_bias: bool,
@@ -71,7 +86,7 @@ def _pallas_forward(qkv: jax.Array, bias: Optional[jax.Array], n_head: int,
     B, L, D3 = qkv.shape
     D = D3 // 3
     head_dim = D // n_head
-    bb = _pick_block_b(B, block_b)
+    bb = _pick_block_b(B, block_b, L, D3, qkv.dtype.itemsize, backward=False)
     interpret = jax.default_backend() != "tpu"
 
     kernel = functools.partial(
@@ -152,7 +167,7 @@ def _pallas_backward(qkv: jax.Array, bias: Optional[jax.Array], g: jax.Array,
     B, L, D3 = qkv.shape
     D = D3 // 3
     head_dim = D // n_head
-    bb = _pick_block_b(B, block_b)
+    bb = _pick_block_b(B, block_b, L, D3, qkv.dtype.itemsize, backward=True)
     interpret = jax.default_backend() != "tpu"
     g = g.astype(qkv.dtype)
 

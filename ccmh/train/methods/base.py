@@ -147,10 +147,11 @@ def clip_embeds(
     heads and losses keep reference numerics."""
     if dtype is None:
         dtype = resolve_compute_dtype(cfg)
+    remat = bool(getattr(cfg, "remat", False))
     img = vision_forward(params["clip"]["visual"], clip_cfg, batch["image"],
-                         dtype=dtype, features=features)
+                         dtype=dtype, features=features, remat=remat)
     txt = text_forward(params["clip"]["text"], clip_cfg, batch["text"],
-                       dtype=dtype, features=features,
+                       dtype=dtype, features=features, remat=remat,
                        key_padding_mask=batch.get("key_padding_mask"))
     if dtype != jnp.float32:
         img, txt = _cast_floats_f32(img), _cast_floats_f32(txt)

@@ -108,9 +108,15 @@ class Trainer:
                 caches[split] = open_or_build(ds, base, split, num_workers=nw,
                                               logger=self.logger)
             self.logger.info(f"decoded-tensor image caches ready under {base}")
+        # single-chip training uses the true-size (ragged) final batch —
+        # exact reference semantics for batch-statistics losses at the cost
+        # of one extra compile; under a mesh the remainder rarely divides
+        # the devices, so those runs keep the wrap-padded fixed shape.
+        ragged = getattr(cfg, "ragged_last", True) and not (
+            cfg.mesh_shape and cfg.mesh_shape[0] > 1)
         self.train_loader = BatchIterator(
             self.train_data, cfg.batch_size, shuffle=True, seed=cfg.seed,
-            num_workers=nw, image_cache=caches["train"])
+            num_workers=nw, image_cache=caches["train"], ragged_last=ragged)
         self.query_loader = BatchIterator(
             self.query_data, cfg.eval_batch, shuffle=False, seed=cfg.seed,
             num_workers=nw, image_cache=caches["query"])
@@ -472,6 +478,24 @@ class Trainer:
         self.logger.info(f"save model to {path}")
 
     def load_checkpoint(self, path: str):
+        if path.endswith(".pth"):
+            # a reference trainer model-<epoch>.pth (train/base.py:225-227):
+            # import its CLIP tower + heads so reference-trained models can
+            # be evaluated here (clip/import_ref.py)
+            from ccmh.clip.import_ref import import_reference_pth
+
+            params, ref_cfg = import_reference_pth(path, self.cfg.method)
+            if ref_cfg != self.clip_cfg:
+                raise ValueError(
+                    f"checkpoint {path} holds a {ref_cfg} tower but this run "
+                    f"is configured for {self.clip_cfg}; point --clip-path at "
+                    f"the matching architecture")
+            import jax.numpy as _jnp
+
+            self.state = self.state._replace(
+                params=jax.tree.map(_jnp.asarray, params))
+            self.logger.info(f"imported reference checkpoint {path}")
+            return
         if os.path.isdir(path):
             # --pretrained pointed at an orbax state_ckpt dir: restore the
             # full state's weights (a natural thing to try after --resume

@@ -201,3 +201,30 @@ def test_zoo_surface(tmp_path):
     target.write_bytes(b"junk")
     sha = zoo._sha256(str(target))
     assert sha != zoo._MODELS["ViT-B/32"][0]
+
+
+def test_remat_is_numerically_transparent():
+    """remat=True (jax.checkpoint over the scanned blocks) changes memory
+    behaviour only: forwards and parameter gradients are bit-identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from ccmh.clip.model import init_clip_params, text_forward, vision_forward
+
+    params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.randn(2, TINY.image_resolution, TINY.image_resolution, 3)
+        .astype(np.float32))
+    ids = jnp.asarray(rng.randint(1, 100, (2, 16)), jnp.int32)
+
+    def loss(p, remat):
+        a = vision_forward(p["visual"], TINY, images, remat=remat).pooled
+        b = text_forward(p["text"], TINY, ids, remat=remat).pooled
+        return jnp.sum(a * a) + jnp.sum(b * b)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    assert float(v0) == float(v1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

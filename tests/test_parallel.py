@@ -118,6 +118,57 @@ def test_multihost_helpers_single_process():
     assert int(out["epoch"]) == 3
 
 
+@pytest.mark.slow
+def test_two_process_distributed():
+    """REAL multi-process jax.distributed run (the DCN path): two spawned
+    processes, 2 CPU devices each, join via initialize_multihost, feed their
+    half of every global batch through shard_host_batch and run the
+    replicated DP train step over the 4-device cross-process mesh.  Both
+    workers' per-step losses must agree with each other AND with the
+    single-process full-batch trajectory computed here."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from tests._multihost_worker import build
+
+    # single-process reference trajectory (plain jit, one device)
+    state, raw_step, batches = build()
+    step = jax.jit(raw_step)
+    want = []
+    for b in batches:
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step(state, jb)
+        want.append(float(metrics["loss"]))
+    want_head = float(jax.tree.reduce(
+        lambda a, t: a + abs(t).sum(), state.params["img_head"], 0.0))
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    results = []
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out[-3000:]
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+
+    for r in results:
+        np.testing.assert_allclose(r["losses"], want, rtol=2e-4,
+                                   err_msg=f"process {r['pid']}")
+        np.testing.assert_allclose(r["head_sum"], want_head, rtol=1e-4)
+
+
 def test_mesh_checkpoint_resume(tmp_path):
     """Full-state checkpoint + resume under the 8-device DP mesh: state is
     devectorized for orbax on save and re-replicated on resume."""

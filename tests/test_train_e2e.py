@@ -215,3 +215,41 @@ def test_pretrained_accepts_state_ckpt_dir(tmp_path):
     for x, y in zip(jax.tree.leaves(t.state.params),
                     jax.tree.leaves(t2.state.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_ragged_last_batch_semantics(tmp_path):
+    """Single-chip training feeds the final partial batch at its TRUE size
+    (reference semantics, train/base.py:87-92): no wrapped duplicates enter
+    a batch-statistics loss, and the remainder shape compiles as its own
+    program.  40 items / batch 16 -> 16, 16, 8."""
+    from ccmh.data.dataset import BatchIterator
+
+    trainer = make_trainer("DSPH", tmp_path, train_num=40, batch_size=16)
+    assert trainer.train_loader.ragged_last
+
+    trainer.train_loader.set_epoch(0)
+    sizes, all_idx = [], []
+    for batch in trainer.train_loader:
+        sizes.append(batch["image"].shape[0])
+        assert batch["valid"].all()
+        all_idx.extend(batch["index"].tolist())
+    assert sizes == [16, 16, 8]
+    assert sorted(all_idx) == list(range(40))  # each item exactly once
+
+    trainer.train_epoch(0)  # remainder shape compiles + runs
+    assert trainer.global_step == 3
+
+    # a mesh run keeps the fixed wrap-padded shape
+    cfg2 = tiny_cfg("DSPH", tmp_path / "mesh", train_num=40, batch_size=16,
+                    mesh_shape=(8,))
+    import jax as _jax
+    if len(_jax.devices()) >= 8:
+        raw = synthetic_arrays(n=64, n_class=8, resolution=TINY.image_resolution)
+        from ccmh.data.split import split_data
+        from ccmh.clip.model import init_clip_params
+        splits = split_data(raw, query_num=16, train_num=40, seed=cfg2.seed)
+        tr2 = Trainer(cfg2, splits=splits, clip_cfg=TINY,
+                      clip_params=init_clip_params(_jax.random.PRNGKey(0), TINY))
+        assert not tr2.train_loader.ragged_last
+        b = next(iter(tr2.train_loader))
+        assert b["image"].shape[0] == 16
