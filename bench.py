@@ -27,6 +27,119 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _bench_ids(B: int):
+    import jax.numpy as jnp
+
+    ids = np.zeros((B, 32), np.int32)
+    ids[:, 0] = 49406
+    ids[:, 1:31] = np.random.RandomState(1).randint(320, 40000, (B, 30))
+    ids[:, 31] = 49407
+    return jnp.asarray(ids)
+
+
+def _bench_labels(B: int):
+    import jax.numpy as jnp
+
+    return jnp.asarray(
+        (np.random.RandomState(4).rand(B, 80) < 0.1).astype(np.float32))
+
+
+def _step_bench(name: str, clip_cfg, images, ids, labels, dsph_ms,
+                remat: bool = False, B: int = 256):
+    """Measure one method's FULL train step (bf16 towers + BertAdam).
+    Returns (ms, raw_step, state, batch) or (None,)*4 on failure."""
+    import jax
+    import jax.numpy as jnp
+
+    from ccmh.clip.model import init_clip_params
+    from ccmh.config import Config
+    from ccmh.train.methods import get_method
+    from ccmh.train.state import init_state, make_main_optimizer, make_train_step
+
+    try:
+        t_cfg = Config(method=name, output_dim=64, nclass=80, batch_size=B,
+                       train_num=4096, epochs=1, compute_dtype="bfloat16",
+                       remat=remat)
+        method = get_method(name)
+        mkey = jax.random.PRNGKey(3)
+        heads, extra, aux = method.init(mkey, t_cfg, clip_cfg)
+        if "train_labels" in aux:  # MITH buffer losses need the full split
+            aux["train_labels"] = jnp.asarray(
+                (np.random.RandomState(6).rand(t_cfg.train_num, 80) < 0.1)
+                .astype(np.float32))
+        t_params = {"clip": init_clip_params(mkey, clip_cfg), **heads}
+        tx = make_main_optimizer(t_cfg, t_params, steps_per_epoch=100)
+        if method.grad_clip > 0:
+            import optax as _optax
+
+            tx = _optax.chain(_optax.clip_by_global_norm(method.grad_clip), tx)
+        extra_tx = method.extra_tx(t_cfg) if method.extra_tx else None
+        state = init_state(jax.random.fold_in(mkey, 9), t_params, extra, aux,
+                           tx, extra_tx)
+        raw_step = make_train_step(method.make_loss_fn(t_cfg, clip_cfg), tx,
+                                   extra_tx, t_cfg, clip_cfg, jit=False)
+        t_batch = {"image": images, "text": ids, "label": labels,
+                   "index": jnp.arange(B, dtype=jnp.int32),
+                   "epoch": jnp.asarray(0, jnp.int32)}
+        if method.needs_mask:
+            t_batch["key_padding_mask"] = ids == 0
+
+        @jax.jit
+        def run_steps(state, batch, n):
+            # scalar loss accumulator: the relay's block_until_ready is
+            # unreliable, a float() fetch is the dependable sync point
+            def body(_, carry):
+                s, acc = carry
+                s2, m = raw_step(s, batch)
+                return (s2, acc + m["loss"])
+            return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))[1]
+
+        float(run_steps(state, t_batch, 2))
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            float(run_steps(state, t_batch, 2))
+            ts = time.time() - t0
+            t0 = time.time()
+            float(run_steps(state, t_batch, 8))
+            tl = time.time() - t0
+            per = (tl - ts) / 6
+            best = per if best is None else min(best, per)
+        note = " [remat]" if remat else ""
+        if dsph_ms is not None and best * 1e3 > 3 * dsph_ms:
+            note += f" ({best * 1e3 / dsph_ms:.1f}x DSPH)"
+        log(f"train step ({name}, B={B}, bf16 towers + BertAdam): "
+            f"{best * 1e3:.1f} ms -> {B / best:,.0f} samples/s/chip{note}")
+        return best * 1e3, raw_step, state, t_batch
+    except Exception as e:  # noqa: BLE001
+        log(f"train-step bench failed [{name}]: {e}")
+        return None, None, None, None
+
+
+def step_main(name: str, remat: bool, dsph_ms):
+    """Subprocess entry: bench ONE method's train step and exit.  Heavy
+    methods each get a fresh process because HBM held by a previous
+    method's executables/donated buffers is not reliably released within
+    one process on the relay-attached chip (observed: DPBE alone 110 ms;
+    DPBE after the MITH bench -> RESOURCE_EXHAUSTED)."""
+    from ccmh.clip.model import ClipConfig
+
+    B = 256
+    clip_cfg = ClipConfig()
+    images = _bench_images(B, clip_cfg)
+    _step_bench(name, clip_cfg, images, _bench_ids(B), _bench_labels(B),
+                dsph_ms, remat=remat, B=B)
+
+
+def _bench_images(B: int, clip_cfg):
+    import jax.numpy as jnp
+
+    return jnp.asarray(
+        np.random.RandomState(0).randn(
+            B, clip_cfg.image_resolution, clip_cfg.image_resolution, 3),
+        jnp.float32)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -46,14 +159,8 @@ def main():
         "txt_head": init_linear_hash(jax.random.fold_in(key, 2), cfg.embed_dim, 64),
     }
     B = 256
-    images = jnp.asarray(
-        np.random.RandomState(0).randn(B, cfg.image_resolution, cfg.image_resolution, 3),
-        jnp.float32)
-    ids = np.zeros((B, 32), np.int32)
-    ids[:, 0] = 49406
-    ids[:, 1:31] = np.random.RandomState(1).randint(320, 40000, (B, 30))
-    ids[:, 31] = 49407
-    ids = jnp.asarray(ids)
+    images = _bench_images(B, cfg)
+    ids = _bench_ids(B)
 
     def encode_pair(params, x, t):
         img = encode_image(params["clip"], cfg, x, dtype=jnp.bfloat16)
@@ -104,96 +211,11 @@ def main():
     }), flush=True)
 
     # secondary: full training-step throughput per method (ViT-B/32, bf16
-    # towers + BertAdam).  DSPH is the flagship line; MITH (token pipeline),
-    # DPBE (posterior sampling + Hessian EMA), DGHDGH (per-step GNN
-    # forwards) and DHaPH (two N^2 Poincare distance matrices) are the
-    # heaviest reference steps (e.g. train/DPBE/hash_train.py:89-189).
-    dsph_step = dsph_state = dsph_batch = None
-    dsph_ms = None
-    labels = jnp.asarray(
-        (np.random.RandomState(4).rand(B, 80) < 0.1).astype(np.float32))
-
-    def build_method_step(name: str, remat: bool = False):
-        from ccmh.config import Config
-        from ccmh.train.methods import get_method
-        from ccmh.train.state import init_state, make_main_optimizer, make_train_step
-
-        t_cfg = Config(method=name, output_dim=64, nclass=80, batch_size=B,
-                       train_num=4096, epochs=1, compute_dtype="bfloat16",
-                       remat=remat)
-        method = get_method(name)
-        mkey = jax.random.PRNGKey(3)
-        heads, extra, aux = method.init(mkey, t_cfg, cfg)
-        if "train_labels" in aux:  # MITH buffer losses need the full split
-            aux["train_labels"] = jnp.asarray(
-                (np.random.RandomState(6).rand(t_cfg.train_num, 80) < 0.1)
-                .astype(np.float32))
-        t_params = {"clip": init_clip_params(mkey, cfg), **heads}
-        tx = make_main_optimizer(t_cfg, t_params, steps_per_epoch=100)
-        if method.grad_clip > 0:
-            import optax as _optax
-
-            tx = _optax.chain(_optax.clip_by_global_norm(method.grad_clip), tx)
-        extra_tx = method.extra_tx(t_cfg) if method.extra_tx else None
-        state = init_state(jax.random.fold_in(mkey, 9), t_params, extra, aux,
-                           tx, extra_tx)
-        raw_step = make_train_step(method.make_loss_fn(t_cfg, cfg), tx,
-                                   extra_tx, t_cfg, cfg, jit=False)
-        t_batch = {"image": images, "text": ids, "label": labels,
-                   "index": jnp.arange(B, dtype=jnp.int32),
-                   "epoch": jnp.asarray(0, jnp.int32)}
-        if method.needs_mask:
-            t_batch["key_padding_mask"] = ids == 0
-
-        @jax.jit
-        def run_steps(state, batch, n):
-            # scalar loss accumulator: the relay's block_until_ready is
-            # unreliable, a float() fetch is the dependable sync point
-            def body(_, carry):
-                s, acc = carry
-                s2, m = raw_step(s, batch)
-                return (s2, acc + m["loss"])
-            return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))[1]
-
-        return run_steps, state, t_batch, raw_step
-
-    def bench_method(name: str, remat: bool = False):
-        nonlocal dsph_ms, dsph_step, dsph_state, dsph_batch
-        try:
-            run_steps, state, t_batch, raw_step = build_method_step(name, remat)
-            float(run_steps(state, t_batch, 2))
-            best = None
-            for _ in range(2):
-                t0 = time.time()
-                float(run_steps(state, t_batch, 2))
-                ts = time.time() - t0
-                t0 = time.time()
-                float(run_steps(state, t_batch, 8))
-                tl = time.time() - t0
-                per = (tl - ts) / 6
-                best = per if best is None else min(best, per)
-            note = " [remat]" if remat else ""
-            if dsph_ms is not None and best * 1e3 > 3 * dsph_ms:
-                note += f" ({best * 1e3 / dsph_ms:.1f}x DSPH)"
-            log(f"train step ({name}, B={B}, bf16 towers + BertAdam): "
-                f"{best * 1e3:.1f} ms -> {B / best:,.0f} samples/s/chip{note}")
-            if name == "DSPH":
-                dsph_ms = best * 1e3
-                dsph_step, dsph_state, dsph_batch = raw_step, state, t_batch
-        except Exception as e:  # noqa: BLE001
-            log(f"train-step bench failed [{name}]: {e}")
-        finally:
-            # release this method's ~2 GB of params/opt-state/executables
-            # before the next one compiles: leaked HBM across 5 methods
-            # otherwise drives later methods into RESOURCE_EXHAUSTED
-            import gc
-
-            if name != "DSPH":
-                run_steps = state = t_batch = raw_step = None  # noqa: F841
-                gc.collect()
-                jax.clear_caches()
-
-    bench_method("DSPH")
+    # towers + BertAdam).  DSPH (the flagship line) runs here; the heavy
+    # methods run LAST, each in its own subprocess (see end of main).
+    labels = _bench_labels(B)
+    dsph_ms, dsph_step, dsph_state, dsph_batch = _step_bench(
+        "DSPH", cfg, images, ids, labels, None)
 
     # secondary: end-to-end input pipeline — decoded-tensor cache streaming a
     # real JPEG dataset into the DSPH train step (VERDICT item 4: the host
@@ -380,15 +402,41 @@ def main():
     except Exception as e:  # noqa: BLE001 - secondary metric must not kill bench
         log(f"mAP bench failed: {e}")
 
-    # per-method train-step sweep LAST: an OOM/compile failure in one heavy
-    # method must not poison the metrics above (a failed allocation can wedge
-    # the backend for the rest of the process).  MITH runs with remat — its
-    # token pipeline at B=256 exceeds 16 GB HBM holding all 12 layers'
-    # activations (train/MITH/hash_train.py:62-200 is the heaviest ref step).
+    # per-method train-step sweep LAST, one SUBPROCESS each: HBM held by a
+    # previous method's executables is not reliably released in-process on
+    # the relay-attached chip, and an OOM in one heavy method must not
+    # poison anything else.  MITH runs with remat — its token pipeline at
+    # B=256 exceeds 16 GB HBM holding all 12 layers' activations
+    # (train/MITH/hash_train.py:62-200 is the heaviest reference step).
+    import subprocess
+
     for name in ("MITH", "DPBE", "DGHDGH", "DHaPH"):
-        bench_method(name, remat=(name == "MITH"))
+        cmd = [sys.executable, __file__, "--step", name]
+        if name == "MITH":
+            cmd.append("--remat")
+        if dsph_ms is not None:
+            cmd += ["--dsph-ms", f"{dsph_ms:.1f}"]
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True, timeout=1500)
+            forwarded = False
+            for line in r.stderr.splitlines():
+                if line.startswith(("train step", "train-step bench failed")):
+                    log(line)
+                    forwarded = True
+            if not forwarded:
+                log(f"train-step bench failed [{name}]: exit {r.returncode}: "
+                    f"{r.stderr[-300:]}")
+        except subprocess.TimeoutExpired:
+            log(f"train-step bench failed [{name}]: subprocess timeout")
 
 
 
 if __name__ == "__main__":
-    main()
+    if "--step" in sys.argv:
+        _i = sys.argv.index("--step")
+        _name = sys.argv[_i + 1]
+        _dsph = (float(sys.argv[sys.argv.index("--dsph-ms") + 1])
+                 if "--dsph-ms" in sys.argv else None)
+        step_main(_name, "--remat" in sys.argv, _dsph)
+    else:
+        main()

@@ -122,6 +122,31 @@ def quick_gelu(x: jax.Array) -> jax.Array:
 # need_weights fall back to "xla" automatically.
 ATTN_IMPL = "fused"
 
+# LayerNorm implementation for the transformer blocks: "fused" = one-pass
+# Pallas kernels (ops/layernorm.py — single HBM read per LN, and the
+# residual-add + pre-LN pair collapses to one pass), "xla" = the plain
+# formulation.  Parity within 1-2 bf16 ulps (tests/test_layernorm.py).
+# MEASURED on v5e (B=256, bf16, ViT-B/32): fused LN is a NET LOSS on the
+# encode path — 10.3k pairs/s vs 11.8k for XLA (the standalone Pallas
+# calls between the matmuls break XLA's elementwise fusion/pipelining,
+# costing more than the saved LN reads) — and a wash on the train step
+# (107.2 vs 108.8 ms).  Default is therefore "xla"; the kernels stay as a
+# validated option (and only engage on TPU — interpreter mode on CPU
+# would be pure overhead).
+LN_IMPL = "xla"
+
+
+def _use_fused_ln() -> bool:
+    return LN_IMPL == "fused" and jax.default_backend() == "tpu"
+
+
+def _ln(x: jax.Array, p: Params) -> jax.Array:
+    if _use_fused_ln():
+        from ccmh.ops.layernorm import fused_layer_norm
+
+        return fused_layer_norm(x, p["scale"], p["bias"])
+    return layer_norm(x, p["scale"], p["bias"])
+
 
 def set_attn_impl(impl: str) -> None:
     global ATTN_IMPL
@@ -191,10 +216,16 @@ def _block(
     need_weights: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Pre-LN residual attention block (attention + QuickGELU MLP)."""
-    h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"])
+    h = _ln(x, p["ln_1"])
     attn_out, w = multi_head_attention(h, p["attn"], n_head, attn_bias, need_weights)
-    x = x + attn_out
-    h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"])
+    if _use_fused_ln():
+        # residual add + pre-MLP LN in ONE VMEM pass (ops/layernorm.py)
+        from ccmh.ops.layernorm import fused_add_layer_norm
+
+        h, x = fused_add_layer_norm(x, attn_out, p["ln_2"]["scale"], p["ln_2"]["bias"])
+    else:
+        x = x + attn_out
+        h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"])
     x = x + (quick_gelu(h @ p["mlp"]["fc_w"] + p["mlp"]["fc_b"]) @ p["mlp"]["proj_w"] + p["mlp"]["proj_b"])
     return x, w
 

@@ -149,11 +149,20 @@ class DPSIHConfig:
 
 @dataclass
 class DGHDGHConfig:
-    # reference: train/DGHDGH/{loss.py,get_args.py} (incomplete upstream; the
-    # ccmh implementation reconstructs the GNN-hard-negative pipeline).
-    gnn_hidden: int = 512
-    lambda3_ema: float = 0.9
-    n_interp: int = 4
+    # reference: train/DGHDGH/get_args.py:11-21 defaults (the GNN modules
+    # are missing upstream; ccmh reconstructs them — docs/dghdgh_reconstruction.md)
+    n_layers: int = 2       # GNN message-passing rounds (GNN_LAYER)
+    n_heads: int = 4        # attention heads per round (ATT_HEAD)
+    gnn_hidden: int = 0     # edge-MLP hidden width (0 -> 2 * output_dim)
+    alpha: float = 5.0      # GeneralPulling hardness (loss.alpha)
+    beta: float = 2.0       # adaptive-λ3 temperature (loss.beta)
+    margin: float = 0.25    # triplet margin (loss.py:84 default)
+    lambda1: float = 1.0    # J_r
+    lambda2: float = 1.0    # J_gca
+    lambda4: float = 10.0   # J_cz
+    lambda5: float = 10.0   # J_ce
+    lambda6: float = 10.0   # J_sim
+    lambda7: float = 0.3    # J_div
 
 
 _METHOD_CONFIGS = {

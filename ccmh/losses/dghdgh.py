@@ -49,16 +49,27 @@ def _linear_init(key, i, o):
             "b": jax.random.uniform(kb, (o,), minval=-bound, maxval=bound)}
 
 
-def init_gnn(rng: jax.Array, n_bits: int, n_classes: int, hidden: int = 0) -> Dict:
+def init_gnn(rng: jax.Array, n_bits: int, n_classes: int, hidden: int = 0,
+             n_layers: int = 2, n_heads: int = 4) -> Dict:
+    """n_layers message-passing rounds with n_heads attention heads each —
+    the shape the surviving call site pins: loss.py:76-77 constructs
+    GNNDecoder(..., n_layers=args.n_layers, n_heads=args.n_heads) with
+    defaults 2/4 (get_args.py:11-12; optuna sweeps 2-8 for both)."""
+    if n_bits % n_heads:
+        raise ValueError(
+            f"output_dim {n_bits} must divide by dghdgh.n_heads {n_heads}")
     hidden = hidden or 2 * n_bits
-    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
-    return {
-        "edge_mlp": {"fc1": _linear_init(k1, 2 * n_bits, hidden),
-                     "fc2": _linear_init(k2, hidden, n_bits)},
-        "attn": _linear_init(k3, 2 * n_bits, 1),
-        "node_mlp": _linear_init(k4, 2 * n_bits, n_bits),
-        "classifier": _linear_init(k5, n_bits, n_classes),
-    }
+    keys = jax.random.split(rng, 4 * n_layers + 1)
+    layers = []
+    for l in range(n_layers):
+        k1, k2, k3, k4 = keys[4 * l : 4 * l + 4]
+        layers.append({
+            "edge_mlp": {"fc1": _linear_init(k1, 2 * n_bits, hidden),
+                         "fc2": _linear_init(k2, hidden, n_bits)},
+            "attn": _linear_init(k3, 2 * n_bits, n_heads),
+            "node_mlp": _linear_init(k4, 2 * n_bits, n_bits),
+        })
+    return {"layers": layers, "classifier": _linear_init(keys[-1], n_bits, n_classes)}
 
 
 def init_softmax_classifier(rng: jax.Array, n_bits: int, n_classes: int) -> Dict:
@@ -72,20 +83,35 @@ class GnnOut(NamedTuple):
 
 
 def gnn_forward(p: Dict, z: jax.Array, ref: jax.Array) -> GnnOut:
-    """Fully-connected cross-graph: nodes z aggregate messages from ref."""
-    prod = z[:, None, :] * ref[None, :, :]                    # [B, B, K]
-    diff = jnp.abs(z[:, None, :] - ref[None, :, :])
-    edge_in = jnp.concatenate([prod, diff], axis=-1)          # [B, B, 2K]
-    h = jax.nn.relu(edge_in @ p["edge_mlp"]["fc1"]["w"] + p["edge_mlp"]["fc1"]["b"])
-    edge_reprs = jax.nn.sigmoid(h @ p["edge_mlp"]["fc2"]["w"] + p["edge_mlp"]["fc2"]["b"])
+    """Fully-connected cross-graph: nodes z aggregate messages from ref
+    through every layer; the LAST layer's sigmoid edge output is the λij
+    gate GeneralPulling consumes (loss.py:34-37 pins its [B*B, n_bits]
+    shape).  Reconstruction choices (the GNNDecoder module is missing
+    upstream): edge features [z_i ⊙ r_j, |z_i − r_j|] recomputed from the
+    evolving node state each round; per-head attention-weighted mean over
+    the gated neighbour values, heads over n_bits/n_heads-wide chunks."""
+    B, K = z.shape
+    cur = z
+    edge_reprs = None
+    for layer in p["layers"]:
+        prod = cur[:, None, :] * ref[None, :, :]              # [B, B, K]
+        diff = jnp.abs(cur[:, None, :] - ref[None, :, :])
+        edge_in = jnp.concatenate([prod, diff], axis=-1)      # [B, B, 2K]
+        h = jax.nn.relu(edge_in @ layer["edge_mlp"]["fc1"]["w"]
+                        + layer["edge_mlp"]["fc1"]["b"])
+        edge_reprs = jax.nn.sigmoid(h @ layer["edge_mlp"]["fc2"]["w"]
+                                    + layer["edge_mlp"]["fc2"]["b"])
 
-    logits = (edge_in @ p["attn"]["w"] + p["attn"]["b"])[..., 0]  # [B, B]
-    weights = jax.nn.softmax(logits, axis=1)
-    messages = jnp.einsum("bn,bnk->bk", weights, edge_reprs * ref[None, :, :])
-    nodes = jnp.tanh(jnp.concatenate([z, messages], -1) @ p["node_mlp"]["w"]
-                     + p["node_mlp"]["b"])
-    preds = nodes @ p["classifier"]["w"] + p["classifier"]["b"]
-    return GnnOut(nodes, preds, edge_reprs)
+        logits = edge_in @ layer["attn"]["w"] + layer["attn"]["b"]  # [B, B, H]
+        weights = jax.nn.softmax(logits, axis=1)
+        values = edge_reprs * ref[None, :, :]                 # [B, B, K]
+        n_heads = logits.shape[-1]
+        vh = values.reshape(B, B, n_heads, K // n_heads)
+        messages = jnp.einsum("bnh,bnhd->bhd", weights, vh).reshape(B, K)
+        cur = jnp.tanh(jnp.concatenate([cur, messages], -1) @ layer["node_mlp"]["w"]
+                       + layer["node_mlp"]["b"])
+    preds = cur @ p["classifier"]["w"] + p["classifier"]["b"]
+    return GnnOut(cur, preds, edge_reprs)
 
 
 def soft_ce(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -159,13 +185,14 @@ def dghdgh_loss(
     gnn_params: Dict, cls_params: Dict,
     j_r_avg: jax.Array, j_gen_avg: jax.Array,
     mcfg: DGHDGHConfig,
-    *, alpha: float = 5.0, beta: float = 2.0, margin: float = 0.25,
-    lambdas=(1.0, 1.0, 10.0, 10.0, 10.0, 0.3),
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Fused single-step version of the reference's three backward passes
     (hash_train.py:75-130); stop_gradients reproduce who-learns-what:
-    J_m updates model+GNN, J_cz the classifier only, J_gen the GNN only."""
-    l1, l2, l4, l5, l6, l7 = lambdas
+    J_m updates model+GNN, J_cz the classifier only, J_gen the GNN only.
+    All weights/knobs come from DGHDGHConfig (get_args.py:11-21 defaults)."""
+    alpha, beta, margin = mcfg.alpha, mcfg.beta, mcfg.margin
+    l1, l2, l4, l5, l6, l7 = (mcfg.lambda1, mcfg.lambda2, mcfg.lambda4,
+                              mcfg.lambda5, mcfg.lambda6, mcfg.lambda7)
     sg = jax.lax.stop_gradient
     zi, zt = l2_normalize(embed_i), l2_normalize(embed_t)
 

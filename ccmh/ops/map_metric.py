@@ -183,7 +183,12 @@ def calc_map(
     use_hist = (method == "hist") or (method == "auto" and k is None)
     num_query = q_codes.shape[0]
     if chunk is None:
-        chunk = max(256, min(num_query, (1 << 28) // max(r_codes.shape[0], 1)))
+        # size the [chunk, N] working set to ~6e8 elements (~2.4 GB int32,
+        # ~3 live buffers through the sort): big enough that a COCO-sized
+        # eval (5k x 117k) is ONE dispatch — each extra dispatch costs a
+        # full host round trip, which dominated exact-eval latency when
+        # this used to split COCO into 3 chunks
+        chunk = max(256, min(num_query, int(6e8) // max(r_codes.shape[0], 1)))
 
     q_codes_h = onp.asarray(q_codes)
     q_labels_h = onp.asarray(q_labels, dtype=onp.float32)

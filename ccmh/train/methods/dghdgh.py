@@ -29,8 +29,10 @@ def _init(rng, cfg: Config, clip_cfg: ClipConfig):
         "img_head": init_linear_hash(k1, clip_cfg.embed_dim, cfg.output_dim),
         "txt_head": init_linear_hash(k2, clip_cfg.embed_dim, cfg.output_dim),
     }
+    mc = cfg.dghdgh
     extra = {
-        "gnn": init_gnn(k3, cfg.output_dim, cfg.nclass),
+        "gnn": init_gnn(k3, cfg.output_dim, cfg.nclass, hidden=mc.gnn_hidden,
+                        n_layers=mc.n_layers, n_heads=mc.n_heads),
         "classifier": init_softmax_classifier(k4, cfg.output_dim, cfg.nclass),
     }
     aux = {"j_r_avg": jnp.zeros(()), "j_gen_avg": jnp.zeros(()),
@@ -78,8 +80,18 @@ def _extra_tx(cfg: Config) -> optax.GradientTransformation:
             "classifier": jax.tree.map(lambda _: "classifier", params["classifier"]),
         }
 
+    # reference optimizer wiring (hash_train.py:58-60,110,129): the GNN
+    # trains under Adam(clip_lr, weight_decay) with its grads clipped to
+    # global-norm 1.0 (torch Adam's weight_decay is L2-into-the-gradient,
+    # hence add_decayed_weights before adam); the classifier under
+    # Adam(clip_lr), unclipped, no decay.
+    gnn_tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.adam(cfg.clip_lr),
+    )
     return optax.multi_transform(
-        {"gnn": optax.adam(cfg.lr), "classifier": optax.adam(cfg.clip_lr)},
+        {"gnn": gnn_tx, "classifier": optax.adam(cfg.clip_lr)},
         param_labels=labels,
     )
 

@@ -1,0 +1,162 @@
+"""DGHDGH goldens against the SURVIVING reference code.
+
+train/DGHDGH/loss.py is unrunnable as committed (its .gnn /
+.graph_generator / gen_triplets imports do not exist), but GeneralPulling
+(loss.py:18-67), PaperLoss.triplet_loss (loss.py:84-107) and the J_div
+formula (loss.py:233-248) ARE present and fully determined — these tests
+run that real torch code (with the missing imports stubbed) as parity
+oracles for the ccmh reconstruction.  See docs/dghdgh_reconstruction.md for
+the pinned-vs-free choice audit.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import REFERENCE_ROOT
+
+torch = pytest.importorskip("torch")
+
+if REFERENCE_ROOT not in sys.path:
+    sys.path.insert(0, REFERENCE_ROOT)
+
+# --- stub the imports loss.py needs but the snapshot does not provide ----
+if "torch_scatter" not in sys.modules:
+    ts = types.ModuleType("torch_scatter")
+
+    def scatter_mean(src, index, dim=0):
+        """Faithful torch_scatter.scatter_mean for the 2-D dim=0 case the
+        reference uses (loss.py:235)."""
+        n = int(index.max()) + 1
+        out = torch.zeros((n,) + src.shape[1:], dtype=src.dtype)
+        out.index_add_(0, index, src)
+        counts = torch.bincount(index, minlength=n).clamp(min=1)
+        return out / counts.view(-1, *([1] * (src.dim() - 1))).to(src.dtype)
+
+    ts.scatter_mean = scatter_mean
+    sys.modules["torch_scatter"] = ts
+
+for _name, _sym in (("train.DGHDGH.gnn", "GNNDecoder"),
+                    ("train.DGHDGH.graph_generator", "GraphGenerator")):
+    if _name not in sys.modules:
+        _m = types.ModuleType(_name)
+        setattr(_m, _sym, type(_sym, (), {}))
+        sys.modules[_name] = _m
+
+import utils.utils as _ref_utils  # noqa: E402
+
+if not hasattr(_ref_utils, "gen_triplets"):
+    _ref_utils.gen_triplets = None  # loss.py only needs the name at import
+
+from train.DGHDGH import loss as ref_loss  # noqa: E402
+
+from ccmh.config import DGHDGHConfig  # noqa: E402
+from ccmh.losses.dghdgh import (  # noqa: E402
+    GnnOut, general_pulling, gnn_forward, init_gnn, triplet_loss)
+
+rng = np.random.RandomState(0)
+B, K, T = 12, 16, 40
+
+
+def _triplets():
+    a = rng.randint(0, B, T)
+    p = rng.randint(0, B, T)
+    n = rng.randint(0, B, T)
+    return a, p, n
+
+
+def test_general_pulling_matches_reference():
+    """GeneralPulling Eq. 6 (loss.py:18-67): gated interpolation toward
+    negatives, z_j passthrough where D_ap >= D_an."""
+    emb = rng.randn(B, K).astype(np.float32)
+    ref = rng.randn(B, K).astype(np.float32)
+    edge = rng.rand(B * B, K).astype(np.float32)  # reference takes n_edges x K
+    a, p, n = _triplets()
+    for j_avg in (0.0, 0.37, 5.0):
+        mod = ref_loss.GeneralPulling(alpha=5.0)
+        want = mod(torch.from_numpy(emb), torch.from_numpy(ref),
+                   (torch.from_numpy(a), torch.from_numpy(p), torch.from_numpy(n)),
+                   torch.from_numpy(edge), torch.tensor(j_avg)).numpy()
+        mcfg = DGHDGHConfig()
+        got = general_pulling(
+            jnp.asarray(emb), jnp.asarray(ref),
+            (jnp.asarray(a), jnp.asarray(p), jnp.asarray(n),
+             jnp.ones(T, bool)),
+            jnp.asarray(edge.reshape(B, B, K)), jnp.asarray(j_avg),
+            mcfg.alpha)
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("hardness", ["all", "semi", "hard"])
+@pytest.mark.parametrize("use_syn", [False, True])
+def test_triplet_loss_matches_reference(hardness, use_syn):
+    """PaperLoss.triplet_loss (loss.py:84-107): inner-product margins,
+    masked mean, optional synthetic negatives via cosine similarity."""
+    emb = rng.randn(B, K).astype(np.float32)
+    ref = rng.randn(B, K).astype(np.float32)
+    a, p, n = _triplets()
+    syn = rng.randn(T, K).astype(np.float32) if use_syn else None
+
+    pl = ref_loss.PaperLoss.__new__(ref_loss.PaperLoss)
+    want = pl.triplet_loss(
+        torch.from_numpy(emb), torch.from_numpy(ref),
+        (torch.from_numpy(a), torch.from_numpy(p), torch.from_numpy(n)),
+        margin=0.25,
+        neg_embs=None if syn is None else torch.from_numpy(syn),
+        hardness=hardness)
+    want = float(want) if torch.is_tensor(want) else want
+
+    got = float(triplet_loss(
+        jnp.asarray(emb), jnp.asarray(ref),
+        (jnp.asarray(a), jnp.asarray(p), jnp.asarray(n), jnp.ones(T, bool)),
+        margin=0.25, neg_embs=None if syn is None else jnp.asarray(syn),
+        hardness=hardness))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_jdiv_matches_reference_formula():
+    """J_div (loss.py:233-248): per-anchor scatter_mean of edge reprs, then
+    1 - sqrt(mean squared deviation) — the ccmh dense form is identical."""
+    edge = rng.rand(B * B, K).astype(np.float32)
+    idx = np.repeat(np.arange(B), B)  # fully-connected: row index per edge
+
+    e = torch.from_numpy(edge)
+    r = torch.from_numpy(idx)
+    means = torch.tile(sys.modules["torch_scatter"].scatter_mean(e, r, dim=0),
+                       (1, B)).reshape(-1, K)
+    want = float(1 - ((e - means) ** 2).sum(1).mean().sqrt())
+
+    dense = jnp.asarray(edge.reshape(B, B, K))
+    got = float(1.0 - jnp.sqrt(jnp.mean(jnp.sum(
+        (dense - jnp.mean(dense, axis=1, keepdims=True)) ** 2, -1))))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_gnn_contract():
+    """Reconstructed GNNDecoder honours the pinned call-site contract
+    (loss.py:76-77, get_args.py:11-12): n_layers rounds, n_heads heads,
+    (nodes, preds, edge_reprs) out, sigmoid-bounded [B, B, K] gate."""
+    p = init_gnn(jax.random.PRNGKey(0), K, n_classes=7, n_layers=2, n_heads=4)
+    assert len(p["layers"]) == 2
+    z = jnp.asarray(rng.randn(B, K).astype(np.float32))
+    ref = jnp.asarray(rng.randn(B, K).astype(np.float32))
+    out = gnn_forward(p, z, ref)
+    assert isinstance(out, GnnOut)
+    assert out.nodes.shape == (B, K)
+    assert out.node_preds.shape == (B, 7)
+    assert out.edge_reprs.shape == (B, B, K)
+    assert float(out.edge_reprs.min()) >= 0.0
+    assert float(out.edge_reprs.max()) <= 1.0
+    # gradient flows through every layer
+    g = jax.grad(lambda p: jnp.sum(gnn_forward(p, z, ref).nodes ** 2))(p)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert float(jnp.abs(g["layers"][0]["edge_mlp"]["fc1"]["w"]).sum()) > 0
+
+    with pytest.raises(ValueError, match="n_heads"):
+        init_gnn(jax.random.PRNGKey(0), 10, n_classes=7, n_heads=4)
