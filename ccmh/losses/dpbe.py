@@ -77,11 +77,19 @@ def affinity_targets(label: jax.Array) -> jax.Array:
 
 
 def n_triplets(label: jax.Array) -> jax.Array:
-    """Count of (anchor, pos, neg) triplets (train/DPBE/triplet_miner.py:5-38;
-    matches include the diagonal)."""
-    matches = (label @ label.T) > 0
-    pos = jnp.sum(matches, axis=1)
-    neg = label.shape[0] - pos
+    """Count of (anchor, pos, neg) triplets EXACTLY as the reference's
+    TripletMinner computes it (train/DPBE/triplet_miner.py:5-38) — the
+    count scales every Hessian term, so its upstream quirks are reproduced
+    bit-for-bit: ``matches = (L @ L^T).byte()`` keeps the raw overlap count
+    (mod 256) rather than a boolean, and ``diffs = matches ^ 1`` marks a
+    pair as a NEGATIVE whenever that byte XOR 1 is nonzero — overlap 0
+    (0^1=1) but also any overlap >= 2 (2^1=3, 3^1=2, ...).  Only overlap
+    exactly 1 is excluded from the negatives; the diagonal counts as a
+    positive.  (Trajectory-parity evidence: tests/test_trajectory.py
+    test_dpbe_trajectory asserts the resulting Hessian EMA buffers.)"""
+    m = jnp.asarray(label @ label.T, jnp.int32) % 256
+    pos = jnp.sum(m != 0, axis=1)
+    neg = jnp.sum((m ^ 1) != 0, axis=1)
     return jnp.sum(pos * neg)
 
 

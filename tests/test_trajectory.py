@@ -438,3 +438,116 @@ def test_dmsh_ln_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
                       conv_linear_hash(t.model.text_hash), 6e-4, "txt_head")
     assert_tree_close(state.params["label_net"], conv_label_net(t.L_net),
                       6e-4, "label_net")
+
+
+# ---------------------------------------------------------------------- DPBE
+def test_dpbe_trajectory(tiny_clip_pt, monkeypatch):
+    """8 composed steps of the real DPBETrainer (posterior-sampled heads,
+    per-step diagonal-GGN Hessian EMA, train/DPBE/hash_train.py:89-189) vs
+    the ccmh fused step: per-step losses, final heads AND final Hessian
+    buffers agree.
+
+    Determinism setup (torch/jax PRNGs cannot be aligned):
+    * posterior sampling is pinned to the mean on BOTH sides (every sample
+      = mu; the gradient path through the sampled evaluation point is the
+      same, the eps*sigma offset is zero), and train_n_samples=1 so the
+      reference's loss-overwrite-then-divide quirk (hash_train.py:136-178,
+      only the LAST sample's loss is kept then divided by n_samples —
+      which ccmh repairs into a mean) is numerically identical to the mean.
+    * the reference's double-hashing bug (model() at hash_train.py:103
+      already applies the heads, hashing() at :130 applies them AGAIN —
+      crashes for output_dim != embedDim; recorded in losses/dpbe.py) is
+      repaired by pointing model.forward at MDPBE.encoding, its clear
+      intent (model/DPBE.py:27-31).
+    """
+    import model.modelbase as modelbase
+
+    if not hasattr(modelbase, "Pre_Layer"):  # model/DPBE.py:5 upstream bug
+        import importlib
+
+        modelbase.Pre_Layer = importlib.import_module(
+            "model.DNPH_TOMM").Pre_Layer
+
+    stochman_root = f"{REFERENCE_ROOT}/train/DPBE/stochman"
+    if stochman_root not in sys.path:
+        sys.path.insert(0, stochman_root)
+
+    args = make_ref_args("DPBE", "DPBE", tiny_clip_pt)
+    args.train_n_samples = 1
+    args.numclass = C
+    batches = make_batches()
+    t, _ = build_ref_trainer("DPBE", "DPBETrainer", args, torch_loader(batches))
+
+    # repairs + determinism (see docstring)
+    t.model.forward = t.model.encoding
+    monkeypatch.setattr(
+        t.laplace, "sample",
+        lambda parameters, posterior_scale, n_samples=100:
+            parameters.view(1, -1).repeat(int(n_samples), 1))
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+
+    def conv_l2norm_head(mod):
+        sd = {k: v for k, v in mod.state_dict().items()}
+        (wk,) = [k for k in sd if k.endswith("weight")]
+        (bk,) = [k for k in sd if k.endswith("bias")]
+        return {"w": jnp.asarray(tnp(sd[wk]).T), "b": jnp.asarray(tnp(sd[bk]))}
+
+    heads = {"img_head": conv_l2norm_head(t.model.image_hash),
+             "txt_head": conv_l2norm_head(t.model.text_hash)}
+    d_in = heads["img_head"]["w"].shape[0]
+    aux = {
+        "hessian_i": {"w": jnp.full((d_in, K), float(N_TRAIN)),
+                      "b": jnp.full((K,), float(N_TRAIN))},
+        "hessian_t": {"w": jnp.full((d_in, K), float(N_TRAIN)),
+                      "b": jnp.full((K,), float(N_TRAIN))},
+    }
+
+    # per-step losses: 3 criterion (MSELoss) calls per step at n_samples=1
+    mse_values = []
+    inner = t.criterion
+
+    class _Rec(torch.nn.Module):
+        def forward(self, *a, **k):
+            out = inner(*a, **k)
+            mse_values.append(float(out.detach()))
+            return out
+
+    t.criterion = _Rec()
+
+    # zero-noise sampling on the jax side too: sample = mu exactly
+    import ccmh.losses.dpbe as dpbe_mod
+
+    monkeypatch.setattr(dpbe_mod, "sample_head", lambda rng, mu, sigma: mu)
+
+    cfg = Config(method="DPBE", output_dim=K, nclass=C, epochs=1,
+                 batch_size=B, train_num=N_TRAIN)
+    cfg.dpbe.n_samples = 1
+    assert cfg.dpbe.hessian_ema == args.hessian_memory_factor
+    assert cfg.dpbe.max_pairs == args.max_pairs
+
+    t.train_epoch(0)
+    ref_losses = [sum(mse_values[i:i + 3]) for i in range(0, len(mse_values), 3)]
+    losses, state = run_ccmh("DPBE", cfg, clip_params, heads, None, aux, batches)
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=5e-4)
+    assert_tree_close(state.params["img_head"],
+                      conv_l2norm_head(t.model.image_hash), 2e-5, "img_head")
+    assert_tree_close(state.params["txt_head"],
+                      conv_l2norm_head(t.model.text_hash), 2e-5, "txt_head")
+
+    # Hessian EMA buffers: flatten the ccmh {"w","b"} tree into
+    # parameters_to_vector order (torch Linear: weight [K, D] row-major,
+    # then bias) and compare against the reference's flat buffers
+    def flat_h(tree):
+        return np.concatenate([np.asarray(tree["w"]).T.ravel(),
+                               np.asarray(tree["b"])])
+
+    np.testing.assert_allclose(
+        flat_h(state.aux["hessian_i"]), tnp(t.model.hessian_i),
+        rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(
+        flat_h(state.aux["hessian_t"]), tnp(t.model.hessian_t),
+        rtol=1e-3, atol=1e-2)
