@@ -62,15 +62,21 @@ def rbf_mmd_loss(x: jax.Array, y: jax.Array, gamma: float) -> jax.Array:
         is_zero = sq < 1e-24
         d = jnp.where(is_zero, 0.0, jnp.sqrt(jnp.where(is_zero, 1.0, sq)))
         return jnp.exp(-gamma * d)
-    return jnp.mean(rbf(x, x) - 2 * rbf(x, y) + rbf(y, y))
+    # SUM, not mean: the reference constructs DPSIHLoss(self.args, self.rank)
+    # (hash_train.py:49) so the device rank lands in the ``reduction``
+    # parameter (Loss.py:29), reduction is never 'mean', and both auxiliary
+    # losses take their .sum() branch.  Reproduced because it changes the
+    # effective loss weights ~1000x (trajectory golden pins it).
+    return jnp.sum(rbf(x, x) - 2 * rbf(x, y) + rbf(y, y))
 
 
 def embedding_diversity_loss(x: jax.Array, num_embeds: int) -> jax.Array:
-    """Gram off-diagonal norm over the residuals [B, E, K] (Loss.py:45-51)."""
+    """Gram off-diagonal norm over the residuals [B, E, K] (Loss.py:45-51);
+    batch-SUM reduction (the rank-as-reduction quirk, see rbf_mmd_loss)."""
     xn = l2norm(x)
     gram = jnp.einsum("bek,bfk->bef", xn, xn)
     gram = gram * (1.0 - jnp.eye(gram.shape[1]))
-    return jnp.mean(jnp.linalg.norm(gram.reshape(gram.shape[0], -1), axis=1)) / (num_embeds ** 2)
+    return jnp.sum(jnp.linalg.norm(gram.reshape(gram.shape[0], -1), axis=1)) / (num_embeds ** 2)
 
 
 def dpsih_loss(

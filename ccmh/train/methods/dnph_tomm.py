@@ -1,6 +1,13 @@
 """DNPH method (TOMM'24): LinearHash + per-modality label predictors +
 proxy loss + Hungarian-matched noise regularizer.  Proxies get their own
-plain SGD(1e-4) (hash_train.py:48)."""
+plain SGD(1e-4) (hash_train.py:48).
+
+Recorded upstream bug, repaired: the reference constructs that proxy SGD
+but never calls its step() anywhere (hash_train.py:48 is its only
+mention), so its proxies never actually move.  Here the optimizer the
+reference clearly intended is applied every step (same repair class as
+DScPH's never-optimized rotation); the trajectory golden pins both
+behaviors (tests/test_trajectory.py test_dnph_trajectory)."""
 
 from __future__ import annotations
 

@@ -45,6 +45,7 @@ def test_cli_end_to_end(tmp_path):
         os.path.join(save_dir, "PR_cruve", "16-ours-synthetic-i2t.mat"))
 
 
+@pytest.mark.slow
 def test_cli_nuswide_caption_txt(tmp_path):
     """NUS-WIDE-style dataset: captions in caption.txt (one line per item,
     dataset/dataloader.py:44-45) + MITH (key_padding_mask pipeline) —

@@ -203,6 +203,7 @@ def test_zoo_surface(tmp_path):
     assert sha != zoo._MODELS["ViT-B/32"][0]
 
 
+@pytest.mark.slow
 def test_remat_is_numerically_transparent():
     """remat=True (jax.checkpoint over the scanned blocks) changes memory
     behaviour only: forwards and parameter gradients are bit-identical."""

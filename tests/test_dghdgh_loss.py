@@ -137,6 +137,7 @@ def test_jdiv_matches_reference_formula():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_gnn_contract():
     """Reconstructed GNNDecoder honours the pinned call-site contract
     (loss.py:76-77, get_args.py:11-12): n_layers rounds, n_heads heads,

@@ -87,6 +87,7 @@ def test_ms_loss_parity(epoch):
     assert abs(got - expected) < 1e-5, (got, expected)
 
 
+@pytest.mark.slow
 def test_hp_loss_runs_and_grads():
     """HPLoss has inherent sampling randomness; check finiteness + grads flow
     to lcas and hpmodel."""

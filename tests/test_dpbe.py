@@ -78,6 +78,7 @@ def test_laplace_sampling_stats():
     assert abs(ws.std() - expected_sigma) < 0.05 * expected_sigma
 
 
+@pytest.mark.slow
 def test_loss_and_hessian_update_finite():
     from ccmh.losses.dpbe import dpbe_sampled_loss
 

@@ -54,6 +54,7 @@ def build(method_name="DCHMT", batch=16, jit=True):
     return cfg, state, step
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(mesh):
     """One DP step over 8 devices must match the single-device step."""
     cfg, state, step = build()
@@ -89,6 +90,7 @@ def test_sharded_map_eval(mesh):
     assert abs(single - sharded) < 1e-6
 
 
+@pytest.mark.slow
 def test_trainer_with_mesh(tmp_path):
     """Full Trainer epoch + valid on an 8-device data-parallel mesh."""
     from tests.test_train_e2e import make_trainer
@@ -169,6 +171,7 @@ def test_two_process_distributed():
         np.testing.assert_allclose(r["head_sum"], want_head, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mesh_checkpoint_resume(tmp_path):
     """Full-state checkpoint + resume under the 8-device DP mesh: state is
     devectorized for orbax on save and re-replicated on resume."""
@@ -243,6 +246,7 @@ def _batch_for(method, batch_np):
     return b
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("method", ["MITH", "DNPH", "DPBE"])
 def test_dp_state_mutating_methods(mesh, method):
     """VERDICT r1 gap 3: sharded == single-device for the methods whose

@@ -82,6 +82,7 @@ def test_npz_roundtrip(ref_pair, tmp_path):
         np.asarray(encode_image(params2, cfg2, images)), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_from_scratch_init_runs():
     cfg = ClipConfig(
         embed_dim=64, image_resolution=64, vision_layers=(1, 1, 1, 1),

@@ -85,6 +85,7 @@ def test_split_parity_with_reference():
     "method",
     ["DCHMT", "DSPH", "DNpH", "DMsH_LN", "DScPH", "DDWSH", "DDBH", "DNPH",
      "DHaPH", "TwDH", "MITH", "DPSIH", "DPBE", "DGHDGH"])
+@pytest.mark.slow
 def test_train_and_valid(method, tmp_path):
     trainer = make_trainer(method, tmp_path)
     state0_loss = None
@@ -134,6 +135,7 @@ def test_loss_decreases(tmp_path):
     assert last < first, (first, last)
 
 
+@pytest.mark.slow
 def test_full_state_resume(tmp_path):
     """Orbax full-state checkpoint: a killed-and-resumed run continues
     bit-exactly (params AND optimizer moments AND rng) vs an uninterrupted
@@ -183,6 +185,7 @@ def test_full_state_checkpoint_none_extra(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_bf16_compute_dtype(tmp_path):
     """--compute-dtype bfloat16 runs the towers in bf16 (embeds come back
     fp32 for heads/losses); a step trains and encodes finitely, and the
@@ -217,6 +220,7 @@ def test_pretrained_accepts_state_ckpt_dir(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_ragged_last_batch_semantics(tmp_path):
     """Single-chip training feeds the final partial batch at its TRUE size
     (reference semantics, train/base.py:87-92): no wrapped duplicates enter

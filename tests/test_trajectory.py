@@ -19,7 +19,9 @@ hardcoded CUDA casts are patched to CPU, exactly as VERDICT r1 prescribed.
 Covered: DSPH (extra-optimizer proxies, train/DSPH/hash_train.py:48-73),
 MITH (epoch-persistent buffers, train/MITH/hash_train.py:56-101),
 DMsH_LN (LabelNet in the BertAdam groups, train/DMsH_LN/hash_train.py:48-78),
-DNPH (host Hungarian noise regularizer, train/DNPH_TOMM/hash_train.py:50-95).
+DNPH (host Hungarian noise regularizer, train/DNPH_TOMM/hash_train.py:50-95),
+DPBE (posterior sampling + Hessian EMA, train/DPBE/hash_train.py:89-189),
+DPSIH (DSIE multi-embed + global grad-clip, train/DPSIH/hash_train.py:53-77).
 """
 
 import argparse
@@ -188,6 +190,14 @@ def run_ccmh(method_name, cfg, clip_params, heads, extra, aux, batches):
     method = get_method(method_name)
     params = {"clip": clip_params, **heads}
     tx = make_main_optimizer(cfg, params, steps_per_epoch=STEPS)
+    if method.grad_clip > 0:
+        # global clip before BertAdam's per-tensor clip, exactly as the
+        # Trainer wires it (trainer.py _init_model; the reference applies
+        # clip_grad_norm_(model.parameters(), 2.0) before optimizer.step,
+        # train/DPSIH/hash_train.py:70-72)
+        import optax as _optax
+
+        tx = _optax.chain(_optax.clip_by_global_norm(method.grad_clip), tx)
     extra_tx = method.extra_tx(cfg) if method.extra_tx else None
     state = init_state(jax.random.PRNGKey(0), params, extra, aux, tx, extra_tx)
     step = make_train_step(method.make_loss_fn(cfg, TINY), tx, extra_tx, cfg, TINY)
@@ -551,3 +561,199 @@ def test_dpbe_trajectory(tiny_clip_pt, monkeypatch):
     np.testing.assert_allclose(
         flat_h(state.aux["hessian_t"]), tnp(t.model.hessian_t),
         rtol=1e-3, atol=1e-2)
+
+
+# --------------------------------------------------------------------- DPSIH
+def test_dpsih_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
+    """8 composed steps of the real DPSIHTrainer (LinearHash + DSIE
+    multi-embed + MSC loss, global grad-clip 2.0 BEFORE BertAdam's
+    per-tensor clip, train/DPSIH/hash_train.py:53-77) vs the ccmh fused
+    step.
+
+    The reference model is unrunnable as committed: MDPSIH.forward unpacks
+    (pooled, tokens) from the base CLIP's encode_image/encode_text, which
+    return a single tensor (model/base/model.py:356-372), and hardcodes
+    ViT-B/32 token widths (model/DPSIH.py:84).  The tokens tap is supplied
+    here by forward HOOKS on the unmodified towers (post-transformer
+    hidden states — the same tap ccmh's "tokens" feature implements,
+    methods/dpsih.py), and the DSIEs are rebuilt at the tiny widths; the
+    trainer, optimizer and loss code run unmodified."""
+    import model.DPSIH as mdl
+
+    args = make_ref_args("DPSIH", "DPSIH", tiny_clip_pt, numclass=C)
+    n_embeds = args.num_embeds
+    assert n_embeds == 4  # ccmh methods/dpsih.py NUM_EMBEDS
+
+    class PatchedMDPSIH(mdl.MDPSIH):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            torch.manual_seed(11)
+            self.DSIE_i = mdl.DSIE(n_embeds, TINY.vision_width, K,
+                                   TINY.vision_width // 2, 0.0)
+            self.DSIE_t = mdl.DSIE(n_embeds, TINY.transformer_width, K,
+                                   TINY.transformer_width // 2, 0.0)
+            cap = {}
+            self.clip.visual.transformer.register_forward_hook(
+                lambda m, i, o: cap.__setitem__("img", o))
+            self.clip.transformer.register_forward_hook(
+                lambda m, i, o: cap.__setitem__("txt", o))
+            clip = self.clip
+            orig_ei, orig_et = clip.encode_image, clip.encode_text
+            clip.encode_image = lambda im: (
+                orig_ei(im), cap["img"].permute(1, 0, 2).float())
+            clip.encode_text = lambda tx: (
+                orig_et(tx), cap["txt"].permute(1, 0, 2).float())
+
+    import train.DPSIH.hash_train as ht_mod
+
+    monkeypatch.setattr(ht_mod, "MDPSIH", PatchedMDPSIH)
+
+    batches = make_batches()
+    t, _ = build_ref_trainer("DPSIH", "DPSIHTrainer", args,
+                             torch_loader(batches))
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+
+    def conv_dsie(mod):
+        return {
+            "w1": jnp.asarray(tnp(mod.attention.w_1.weight).T),
+            "w2": jnp.asarray(tnp(mod.attention.w_2.weight).T),
+            "fc": {"w": jnp.asarray(tnp(mod.fc.weight).T),
+                   "b": jnp.asarray(tnp(mod.fc.bias))},
+            "ln": {"scale": jnp.asarray(tnp(mod.layer_norm.weight)),
+                   "bias": jnp.asarray(tnp(mod.layer_norm.bias))},
+        }
+
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash),
+             "dsie_i": conv_dsie(t.model.DSIE_i),
+             "dsie_t": conv_dsie(t.model.DSIE_t)}
+
+    loss_values = []
+    inner = t.criterion
+
+    class _Rec(torch.nn.Module):
+        def forward(self, *a, **k):
+            loss, loss_dict = inner(*a, **k)
+            loss_values.append(float(loss.detach()))
+            return loss, loss_dict
+
+    t.criterion = _Rec()
+
+    cfg = Config(method="DPSIH", output_dim=K, nclass=C, epochs=1,
+                 batch_size=B, train_num=N_TRAIN)
+    assert cfg.dpsih.margin == args.margin
+
+    t.train_epoch(0)
+    losses, state = run_ccmh("DPSIH", cfg, clip_params, heads, None, {},
+                             batches)
+
+    # early steps are tight; later steps allow 2e-3 rel — the dc term SUMS
+    # ~1000 rbf entries (O(440) vs the O(1) msc term), so ~1e-6 of fp32
+    # param drift shows up ~1000x amplified in the recorded loss.  The
+    # final-parameter asserts below are the discriminating check for
+    # optimizer/grad-clip wiring.
+    np.testing.assert_allclose(losses[:2], loss_values[:2], rtol=5e-4)
+    np.testing.assert_allclose(losses, loss_values, rtol=2e-3)
+    assert_tree_close(state.params["img_head"],
+                      conv_linear_hash(t.model.image_hash), 5e-5, "img_head")
+    assert_tree_close(state.params["txt_head"],
+                      conv_linear_hash(t.model.text_hash), 5e-5, "txt_head")
+    assert_tree_close(state.params["dsie_i"], conv_dsie(t.model.DSIE_i),
+                      5e-5, "dsie_i")
+    assert_tree_close(state.params["dsie_t"], conv_dsie(t.model.DSIE_t),
+                      5e-5, "dsie_t")
+
+
+# ---------------------------------------------------------------------- DNPH
+def test_dnph_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
+    """8 composed steps of the real DNPHTOMMTrainer (proxy loss + class CE +
+    Hungarian-matched noise regularizer + proxy SGD,
+    train/DNPH_TOMM/hash_train.py:50-95) vs the ccmh fused step (whose
+    Hungarian runs as a host pure_callback inside the jitted program).
+
+    The reference draws its ±1 noise from the global numpy RNG
+    (b_reg.py:5-17) and ccmh from the jax PRNG — unalignable — so BOTH
+    sides are pinned to one fixed noise matrix; the Hungarian assignment
+    itself (the interesting composition) still changes every step with the
+    evolving codes."""
+    import train.DNPH_TOMM.hash_train as ht_mod
+    import ccmh.losses.dnph_tomm as dnph_mod
+    import ccmh.train.methods.dnph_tomm as dnph_method_mod
+
+    noise0 = (np.random.RandomState(9).randint(0, 2, (B, K)) * 2 - 1)
+
+    rec = {"loss1": [], "noise": []}
+    monkeypatch.setattr(ht_mod, "rand_unit_rect",
+                        lambda b, k: noise0.copy())
+    orig_gene = ht_mod.gene_noise
+
+    def gene_wrap(emb, noises):
+        out = orig_gene(emb, noises)
+        rec["noise"].append(float((emb * out).sum(axis=-1).mean()))
+        return out
+
+    monkeypatch.setattr(ht_mod, "gene_noise", gene_wrap)
+
+    def fixed_noise_reg(rng, hash_img, hash_txt):
+        noise = jnp.asarray(noise0, jnp.float32)
+        i_noise = dnph_mod.assign_noise(hash_img, noise)
+        t_noise = dnph_mod.assign_noise(hash_txt, noise)
+        return (jnp.mean(jnp.sum(hash_img * i_noise, axis=-1))
+                + jnp.mean(jnp.sum(hash_txt * t_noise, axis=-1)))
+
+    monkeypatch.setattr(dnph_method_mod, "noise_regularizer", fixed_noise_reg)
+
+    args = make_ref_args("DNPH_TOMM", "DNPH", tiny_clip_pt, nclass=C)
+    batches = make_batches()
+    t, _ = build_ref_trainer("DNPH_TOMM", "DNPHTOMMTrainer", args,
+                             torch_loader(batches))
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+    t.DNPH = LossRecorder(t.DNPH)
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+
+    def conv_pre(mod):
+        return {"w": jnp.asarray(tnp(mod.fc.weight).T),
+                "b": jnp.asarray(tnp(mod.fc.bias))}
+
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash),
+             "img_pre": conv_pre(t.model.image_pre),
+             "txt_pre": conv_pre(t.model.text_pre)}
+    extra = {"proxies": jnp.asarray(tnp(t.DNPH.inner.proxies))}
+
+    cfg = Config(method="DNPH", output_dim=K, nclass=C, epochs=1,
+                 batch_size=B, train_num=N_TRAIN)
+
+    proxies0 = tnp(t.DNPH.inner.proxies)
+    t.train_epoch(0)
+    ref_losses = [l1 - 0.1 * (rec["noise"][2 * i] + rec["noise"][2 * i + 1])
+                  for i, l1 in enumerate(t.DNPH.values)]
+    losses, state = run_ccmh("DNPH", cfg, clip_params, heads, extra, {},
+                             batches)
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=5e-4, atol=1e-5)
+    assert_tree_close(state.params["img_head"],
+                      conv_linear_hash(t.model.image_hash), 2e-5, "img_head")
+    assert_tree_close(state.params["txt_head"],
+                      conv_linear_hash(t.model.text_hash), 2e-5, "txt_head")
+    assert_tree_close(state.params["img_pre"], conv_pre(t.model.image_pre),
+                      2e-5, "img_pre")
+    # Proxies: the reference CREATES torch.optim.SGD(DNPH.parameters())
+    # but never calls step() (hash_train.py:48 is its only mention), so its
+    # proxies never move — a recorded upstream bug, repaired in ccmh (the
+    # clear intent of building the optimizer; same class of repair as
+    # DScPH's never-optimized rotation).  Pin both facts: torch unchanged,
+    # ccmh moved (at SGD lr 1e-4 the drift is too small to disturb the
+    # loss/head parity asserted above).
+    np.testing.assert_array_equal(tnp(t.DNPH.inner.proxies), proxies0)
+    moved = np.abs(np.asarray(state.extra["proxies"]) - proxies0).max()
+    assert 0 < moved < 1e-2, moved
