@@ -82,7 +82,9 @@ class DHaPHConfig:
     clip_r: float = 2.3
     hp_lr: float = 1e-5
     temperature: float = 0.1
-    topk: int = 10                        # reciprocal-topk triplet mining
+    topk: int = 15                        # reciprocal-topk triplet mining
+                                          # (hash_train.py:78 passes args.topk,
+                                          # get_args.py:13 default 15)
     ms_warm_epoch_frac: float = 1.0 / 3.0
 
 

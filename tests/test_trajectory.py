@@ -23,7 +23,9 @@ DNPH (host Hungarian noise regularizer, train/DNPH_TOMM/hash_train.py:50-95),
 DPBE (posterior sampling + Hessian EMA, train/DPBE/hash_train.py:89-189),
 DPSIH (DSIE multi-embed + global grad-clip, train/DPSIH/hash_train.py:53-77),
 DCHMT (select-mechanism pairs + clipped euclidean similarity,
-train/DCHMT/hash_train.py:43-156).
+train/DCHMT/hash_train.py:43-156),
+DHaPH (self-paced MSLoss path with the HP term at alpha=0 — its hyperbolic
+sampling draws from the unalignable numpy RNG, train/DHaPH/hash_train.py:57-93).
 """
 
 import argparse
@@ -830,3 +832,92 @@ def test_dchmt_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
                       conv_select(t.model.text_hash), 1e-3, "txt_head")
     ref_clip, _ = convert_state_dict(dict(t.model.clip.state_dict()))
     assert_tree_close(state.params["clip"], ref_clip, 2e-5, "clip")
+
+
+# --------------------------------------------------------------------- DHaPH
+def test_dhaph_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
+    """8 composed steps of the real DHaPHTrainer's deterministic path
+    (LinearHash + 3x self-paced MSLoss + BertAdam,
+    train/DHaPH/hash_train.py:57-93) vs the ccmh fused step, with
+    ``alpha=0`` on BOTH sides: the hyperbolic proxy term samples triplets
+    from the global numpy RNG inside its forward (HPloss.py:162-183), which
+    cannot be aligned with the jax PRNG — its Poincare math has its own
+    goldens (test_dhaph.py).  The HP extras' AdamW(1e-5, wd) still steps on
+    exactly-zero grads on both sides (decoupled decay only)."""
+    import functools
+
+    import ccmh.train.methods.dhaph as dhaph_method_mod
+    import ccmh.losses.dhaph as dhaph_loss_mod
+
+    monkeypatch.setattr(
+        dhaph_method_mod, "dhaph_loss",
+        functools.partial(dhaph_loss_mod.dhaph_loss, alpha=0.0))
+
+    # HPloss.py:125 hardcodes `.to(0)` (a CUDA ordinal) in its constructor —
+    # recorded device-cast bug class; redirect any cuda/ordinal target to CPU
+    orig_tensor_to = torch.Tensor.to
+
+    def cpu_tensor_to(self, *a, **k):
+        a = tuple("cpu" if ((isinstance(x, int) and not isinstance(x, bool))
+                            or (isinstance(x, (str, torch.device))
+                                and "cuda" in str(x))) else x for x in a)
+        if "device" in k and ("cuda" in str(k["device"])
+                              or (isinstance(k["device"], int)
+                                  and not isinstance(k["device"], bool))):
+            k["device"] = "cpu"
+        return orig_tensor_to(self, *a, **k)
+
+    monkeypatch.setattr(torch.Tensor, "to", cpu_tensor_to)
+
+    # topk=4: the production default (15) exceeds the tiny B=8 similarity
+    # matrix in the (alpha-0-weighted but still executed) HP forward
+    args = make_ref_args("DHaPH", "DHaPH", tiny_clip_pt, numclass=C, alpha=0,
+                         topk=4)
+    batches = make_batches()
+    t, _ = build_ref_trainer("DHaPH", "DHaPHTrainer", args,
+                             torch_loader(batches))
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+    t.msloss = LossRecorder(t.msloss)
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash)}
+
+    def conv_hp(trainer):
+        hp = trainer.hpmodel
+        sd = {k: tnp(v) for k, v in hp.state_dict().items()}
+        (wk,) = [k for k in sd if k.endswith("weight")]
+        (bk,) = [k for k in sd if k.endswith("bias")]
+        return {"linear": {"w": jnp.asarray(sd[wk].T),
+                           "b": jnp.asarray(sd[bk])}}
+
+    from ccmh.train.methods import get_method
+
+    method = get_method("DHaPH")
+    cfg = Config(method="DHaPH", output_dim=K, nclass=C, epochs=1,
+                 batch_size=B, train_num=N_TRAIN)
+    cfg.dhaph.topk = args.topk
+    # extras converted from the live torch modules so the zero-grad AdamW
+    # decay runs from identical starting points
+    _, extra0, _ = method.init(jax.random.PRNGKey(5), cfg, TINY)
+    extra = {"hpmodel": conv_hp(t),
+             "lcas": jax.tree.map(lambda x: x, extra0["lcas"])}
+
+    t.train_epoch(0)
+    ref_losses = [sum(t.msloss.values[i:i + 3])
+                  for i in range(0, len(t.msloss.values), 3)]
+    losses, state = run_ccmh("DHaPH", cfg, clip_params, heads, extra, {},
+                             batches)
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=5e-4)
+    assert_tree_close(state.params["img_head"],
+                      conv_linear_hash(t.model.image_hash), 2e-5, "img_head")
+    assert_tree_close(state.params["txt_head"],
+                      conv_linear_hash(t.model.text_hash), 2e-5, "txt_head")
+    # hp extras saw only AdamW's decoupled decay — identical on both
+    # sides to a float32 ulp
+    assert_tree_close(state.extra["hpmodel"], conv_hp(t), 1e-6, "hpmodel")
