@@ -25,7 +25,18 @@ DPSIH (DSIE multi-embed + global grad-clip, train/DPSIH/hash_train.py:53-77),
 DCHMT (select-mechanism pairs + clipped euclidean similarity,
 train/DCHMT/hash_train.py:43-156),
 DHaPH (self-paced MSLoss path with the HP term at alpha=0 — its hyperbolic
-sampling draws from the unalignable numpy RNG, train/DHaPH/hash_train.py:57-93).
+sampling draws from the unalignable numpy RNG, train/DHaPH/hash_train.py:57-93),
+DNpH TMM (qmi loss, train/DNpH_TMM/hash_train.py:46-74),
+DScPH (CPF proxies in the BertAdam groups + Householder quantization,
+train/DScPH/hash_train.py:51-80),
+DDBH (BP + similarity-weighted quantization, train/DDBH/hash_train.py:48-86).
+
+Not covered (no runnable reference trainer exists to compose): DDWSH
+(train/DDWSH/loss.py is unconstructible), DGHDGH (gnn/graph modules missing
+upstream — goldens run the surviving loss pieces, test_dghdgh_loss.py);
+TwDH's center-tie resolution draws random bits per batch from the torch
+global RNG inside the step (hash_train.py:96-105), so only its parts are
+golden-tested (test_twdh_data.py, test_losses.py).
 """
 
 import argparse
@@ -921,3 +932,212 @@ def test_dhaph_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
     # hp extras saw only AdamW's decoupled decay — identical on both
     # sides to a float32 ulp
     assert_tree_close(state.extra["hpmodel"], conv_hp(t), 1e-6, "hpmodel")
+
+
+# ---------------------------------------------------------------- DNpH (TMM)
+def test_dnph_tmm_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
+    """8 composed steps of the real DNpH (TMM) trainer — the simplest loop
+    in the suite (qmi loss + BertAdam, train/DNpH_TMM/hash_train.py:46-74)
+    — vs the ccmh fused step.  A pure composition check: nothing random,
+    no extra optimizers, no buffers."""
+    import train.DNpH_TMM.hash_train as ht_mod
+
+    # qmi_loss hardcodes torch.cuda.FloatTensor (loss.py — recorded device
+    # bug); alias it to the CPU tensor type for the run
+    monkeypatch.setattr(torch.cuda, "FloatTensor", torch.FloatTensor,
+                        raising=False)
+
+    rec = []
+    orig_qmi = ht_mod.qmi_loss
+
+    def qmi_wrap(**kw):
+        out = orig_qmi(**kw)
+        rec.append(float(out.detach()))
+        return out
+
+    monkeypatch.setattr(ht_mod, "qmi_loss", qmi_wrap)
+
+    args = make_ref_args("DNpH_TMM", "DNpH", tiny_clip_pt, numclass=C)
+    batches = make_batches()
+    t, _ = build_ref_trainer("DNpH_TMM", "DNpHTMMTrainer", args,
+                             torch_loader(batches))
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash)}
+
+    cfg = Config(method="DNpH", output_dim=K, nclass=C, epochs=1,
+                 batch_size=B, train_num=N_TRAIN)
+
+    t.train_epoch(0)
+    losses, state = run_ccmh("DNpH", cfg, clip_params, heads, None, {},
+                             batches)
+
+    np.testing.assert_allclose(losses, rec, rtol=5e-4)
+    assert_tree_close(state.params["img_head"],
+                      conv_linear_hash(t.model.image_hash), 2e-5, "img_head")
+    assert_tree_close(state.params["txt_head"],
+                      conv_linear_hash(t.model.text_hash), 2e-5, "txt_head")
+    ref_clip, _ = convert_state_dict(dict(t.model.clip.state_dict()))
+    assert_tree_close(state.params["clip"], ref_clip, 3e-5, "clip")
+
+
+# --------------------------------------------------------------------- DScPH
+def test_dscph_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
+    """8 composed steps of the real DScPHTrainer (CPF proxies under the
+    BertAdam groups + Householder bit-variance quantization,
+    train/DScPH/hash_train.py:51-80) vs the ccmh fused step.
+
+    The reference never puts the rotation in any optimizer (recorded bug,
+    repaired in ccmh — methods/dscph.py); to compare against the runnable
+    reference the ccmh rotation's gradient is severed for this test.  Its
+    BertAdam weight decay still shrinks the (identity-initialized) weights
+    uniformly, which cancels in the column normalization, so losses and
+    every other parameter must still track exactly.  CPF's hardcoded
+    `device=1` (hash_train.py:36) is redirected to CPU."""
+    import train.DScPH.hash_train as ht_mod
+    import ccmh.losses.dscph as dscph_loss_mod
+    import ccmh.train.methods.dscph as dscph_method_mod
+
+    real_cpf_cls = ht_mod.CPF
+    monkeypatch.setattr(
+        ht_mod, "CPF",
+        lambda embed_dim, n_classes, device: real_cpf_cls(
+            embed_dim, n_classes, "cpu"))
+
+    rec = {"q": []}
+    real_bv = ht_mod.bit_var_loss
+
+    class RecBV(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.inner = real_bv()
+
+        def forward(self, x):
+            out = self.inner(x)
+            rec["q"].append(float(out.detach()))
+            return out
+
+    monkeypatch.setattr(ht_mod, "bit_var_loss", RecBV)
+
+    orig_loss = dscph_loss_mod.dscph_loss
+
+    def frozen_rot_loss(hi, ht_, label, loss_heads, mcfg):
+        lh = dict(loss_heads)
+        lh["rot"] = jax.tree.map(jax.lax.stop_gradient, loss_heads["rot"])
+        return orig_loss(hi, ht_, label, lh, mcfg)
+
+    monkeypatch.setattr(dscph_method_mod, "dscph_loss", frozen_rot_loss)
+
+    args = make_ref_args("DScPH", "DScPH", tiny_clip_pt, nclass=C)
+    batches = make_batches()
+    t, _ = build_ref_trainer("DScPH", "DScPHTrainer", args,
+                             torch_loader(batches))
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+    t.cpf = LossRecorder(t.cpf)
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash),
+             "loss_heads": {
+                 "cpf": {"weight": jnp.asarray(tnp(t.cpf.inner.weight))},
+                 "rot": {"weights": jnp.asarray(tnp(t.rot.weights))},
+             }}
+    np.testing.assert_array_equal(tnp(t.rot.weights), np.eye(K))
+
+    cfg = Config(method="DScPH", output_dim=K, nclass=C, epochs=1,
+                 batch_size=B, train_num=N_TRAIN)
+
+    t.train_epoch(0)
+    ref_losses = [c + rec["q"][2 * i] + rec["q"][2 * i + 1]
+                  for i, c in enumerate(t.cpf.values)]
+    losses, state = run_ccmh("DScPH", cfg, clip_params, heads, None, {},
+                             batches)
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=5e-4)
+    assert_tree_close(state.params["img_head"],
+                      conv_linear_hash(t.model.image_hash), 2e-5, "img_head")
+    assert_tree_close(state.params["txt_head"],
+                      conv_linear_hash(t.model.text_hash), 2e-5, "txt_head")
+    assert_tree_close(state.params["loss_heads"]["cpf"],
+                      {"weight": jnp.asarray(tnp(t.cpf.inner.weight))},
+                      2e-5, "cpf")
+    # ccmh rot saw only uniform weight decay: still proportional to identity
+    rot = np.asarray(state.params["loss_heads"]["rot"]["weights"])
+    np.testing.assert_allclose(rot / rot[0, 0], np.eye(K), atol=1e-6)
+
+
+# ---------------------------------------------------------------------- DDBH
+def test_ddbh_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
+    """8 composed steps of the real DDBHTrainer (3x BP loss + similarity-
+    weighted quantization, train/DDBH/hash_train.py:48-86) vs the ccmh
+    fused step.  The reference loss module references an undefined
+    ``DAMHLoss`` name in BPLoss.__init__ (loss.py:7, recorded bug); the
+    same injected-name repair the unit golden uses makes the trainer
+    constructible."""
+    import train.DDBH.loss as ddbh_loss_mod
+    import train.DDBH.hash_train as ht_mod
+
+    if not hasattr(ddbh_loss_mod, "DAMHLoss"):
+        ddbh_loss_mod.DAMHLoss = ddbh_loss_mod.BPLoss
+    # model/DDBH.py's MDDBH calls super(MDNpH, self) — an unrenamed
+    # copy-paste (the "unconstructible class" recorded bug); alias the name
+    import model.DDBH as ddbh_model_mod
+
+    if not hasattr(ddbh_model_mod, "MDNpH"):
+        ddbh_model_mod.MDNpH = ddbh_model_mod.MDDBH
+
+    args = make_ref_args("DDBH", "DDBH", tiny_clip_pt, numclass=C)
+    batches = make_batches()
+    t, _ = build_ref_trainer("DDBH", "DDBHTrainer", args,
+                             torch_loader(batches))
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+    t.bp = LossRecorder(t.bp)
+
+    # capture the per-step hash outputs so the inline iq/tq quantization
+    # terms (hash_train.py:73-77) can be reconstructed for loss recording
+    caps = []
+    orig_forward = t.model.forward
+
+    def fwd(image, text):
+        out = orig_forward(image, text)
+        caps.append(tuple(o.detach().clone() for o in out))
+        return out
+
+    monkeypatch.setattr(t.model, "forward", fwd)
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash)}
+
+    cfg = Config(method="DDBH", output_dim=K, nclass=C, epochs=1,
+                 batch_size=B, train_num=N_TRAIN)
+    assert cfg.ddbh.quan_weight == 0.1  # hash_train.py:79
+
+    t.train_epoch(0)
+    ref_losses = []
+    for i, b in enumerate(batches):
+        hi, ht_ = caps[i]
+        s = torch.from_numpy((b["label"] @ b["label"].T > 0).astype(np.float32))
+        iq = torch.matmul(s, (hi - hi.sign()).pow(2)).mean()
+        tq = torch.matmul(s, (ht_ - ht_.sign()).pow(2)).mean()
+        ref_losses.append(sum(t.bp.values[3 * i:3 * i + 3])
+                          + 0.1 * (float(iq) + float(tq)))
+    losses, state = run_ccmh("DDBH", cfg, clip_params, heads, None, {},
+                             batches)
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=5e-4)
+    assert_tree_close(state.params["img_head"],
+                      conv_linear_hash(t.model.image_hash), 2e-5, "img_head")
+    assert_tree_close(state.params["txt_head"],
+                      conv_linear_hash(t.model.text_hash), 2e-5, "txt_head")
