@@ -59,9 +59,27 @@ def hash_center_targets(rng: jax.Array, labels: jax.Array, centers: jax.Array) -
     return pairs.reshape(labels.shape[0], -1)
 
 
-def bce(p: jax.Array, t: jax.Array, eps: float = 1e-12) -> jax.Array:
-    p = jnp.clip(p, eps, 1.0 - eps)
-    return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log(1.0 - p))
+# smallest NORMAL float32: a flush-to-zero-safe floor inside the log.
+# torch.nn.BCELoss clamps the log terms at -100; log(min_normal) = -87.3 is
+# the closest TPU-safe equivalent (denormals like exp(-100) may flush to 0).
+_MIN_NORMAL = 1.1754944e-38
+
+
+def bce(p: jax.Array, t: jax.Array) -> jax.Array:
+    """torch.nn.BCELoss semantics: bounded log terms for saturated inputs.
+
+    An eps-clip of ``p`` does not work in float32 — ``1.0 - 1e-12`` rounds
+    back to exactly 1.0, so saturated softmax pairs (p == 1.0, common once
+    the 2K-dim pair logits sharpen) produced ``0 * log(0) = NaN`` in the
+    forward, and a plain ``maximum(log(p), -100)`` still produced NaN in
+    the BACKWARD (0 cotangent x inf d(log)/dp).  Flooring p inside the log
+    keeps forward AND gradient finite: the matched side contributes exactly
+    0 and the mismatched saturated side a bounded ~-87 penalty (torch
+    clamps at -100; indistinguishable in practice).  Caught by the TwDH
+    trajectory golden."""
+    log_p = jnp.log(jnp.maximum(p, _MIN_NORMAL))
+    log_1p = jnp.log(jnp.maximum(1.0 - p, _MIN_NORMAL))
+    return -jnp.mean(t * log_p + (1.0 - t) * log_1p)
 
 
 def soft_argmax_hash_loss(code_flat: jax.Array) -> jax.Array:

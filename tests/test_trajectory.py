@@ -1141,3 +1141,104 @@ def test_ddbh_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
                       conv_linear_hash(t.model.image_hash), 2e-5, "img_head")
     assert_tree_close(state.params["txt_head"],
                       conv_linear_hash(t.model.text_hash), 2e-5, "txt_head")
+
+
+# ---------------------------------------------------------------------- TwDH
+def test_twdh_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
+    """4 composed steps of the real TwDHTrainer (ModalityHash heads with a
+    live BatchNorm on the image side, BCE against label-derived hash
+    centers, short codes via the vendored trans matrices,
+    train/TwDH/hash_train.py:55-160) vs the ccmh fused step, using the REAL
+    mirflickr center/trans assets on both sides (the ccmh npz was converted
+    from the reference pkl files).
+
+    The only randomness — the ±1 fill for zero-mean center bits
+    (hash_train.py:96-105 torch.randint_like; losses/twdh.py
+    hash_center_targets jax.random.randint) — is pinned to +1 on BOTH
+    sides.  Asserts per-step losses, final heads AND the BatchNorm running
+    statistics (the stateful piece unique to this method)."""
+    import ccmh.losses.twdh as twdh_mod
+    from ccmh.models.heads import init_bn_state
+
+    monkeypatch.setattr(
+        torch, "randint_like",
+        lambda t, high, **kw: torch.ones_like(t))
+    monkeypatch.setattr(
+        jax.random, "randint",
+        lambda key, shape, minval, maxval, dtype=jnp.int32:
+            jnp.ones(shape, jnp.int32))
+
+    C2, LONG = 24, 512  # mirflickr centers: 24 classes; trans exists for 512
+    root = f"{REFERENCE_ROOT}/train/TwDH/center/mirflickr"
+    args = make_ref_args("TwDH", "TwDH", tiny_clip_pt, output_dim=LONG,
+                         long_center=f"{root}/long",
+                         short_center=f"{root}/short",
+                         trans_matrix=f"{root}/trans")
+
+    rng_local = np.random.RandomState(13)
+    batches = []
+    for s in range(4):
+        b = make_batches()[s]
+        label = (rng_local.rand(B, C2) < 0.2).astype(np.float32)
+        label[np.arange(B), rng_local.randint(0, C2, B)] = 1.0
+        batches.append({**b, "label": label})
+
+    t, _ = build_ref_trainer("TwDH", "TwDHTrainer", args,
+                             torch_loader(batches))
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+
+    def conv_modality(mod, layernorm):
+        e = mod.atten.embed_dim
+        ipw, ipb = tnp(mod.atten.in_proj_weight), tnp(mod.atten.in_proj_bias)
+        p = {
+            "v_w": jnp.asarray(ipw[2 * e:3 * e].T),
+            "v_b": jnp.asarray(ipb[2 * e:3 * e]),
+            "out_w": jnp.asarray(tnp(mod.atten.out_proj.weight).T),
+            "out_b": jnp.asarray(tnp(mod.atten.out_proj.bias)),
+            "fc2_w": jnp.asarray(tnp(mod.fc2.weight).T),
+            "fc2_b": jnp.asarray(tnp(mod.fc2.bias)),
+        }
+        key = "ln" if layernorm else "bn"
+        p[key] = {"scale": jnp.asarray(tnp(mod.norm.weight)),
+                  "bias": jnp.asarray(tnp(mod.norm.bias))}
+        return p
+
+    heads = {"img_head": conv_modality(t.model.img_hash, layernorm=False),
+             "txt_head": conv_modality(t.model.txt_hash, layernorm=True)}
+    aux = {"bn": init_bn_state(TINY.embed_dim),
+           "assets": twdh_mod.load_twdh_assets("mirflickr", LONG)}
+
+    losses_ref = []
+    orig_compute = t.compute_loss
+
+    def rec_compute(*a, **kw):
+        out = orig_compute(*a, **kw)
+        losses_ref.append(float(out.detach()))
+        return out
+
+    monkeypatch.setattr(t, "compute_loss", rec_compute)
+
+    cfg = Config(method="TwDH", output_dim=LONG, nclass=C2, epochs=1,
+                 batch_size=B, train_num=N_TRAIN)
+
+    t.train_epoch(0)
+    losses, state = run_ccmh("TwDH", cfg, clip_params, heads, None, aux,
+                             batches)
+
+    np.testing.assert_allclose(losses, losses_ref, rtol=5e-4)
+    assert_tree_close(state.params["img_head"],
+                      conv_modality(t.model.img_hash, layernorm=False),
+                      3e-5, "img_head")
+    assert_tree_close(state.params["txt_head"],
+                      conv_modality(t.model.txt_hash, layernorm=True),
+                      3e-5, "txt_head")
+    # the image-side BatchNorm running statistics advanced in lockstep
+    np.testing.assert_allclose(
+        np.asarray(state.aux["bn"]["mean"]),
+        tnp(t.model.img_hash.norm.running_mean), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(state.aux["bn"]["var"]),
+        tnp(t.model.img_hash.norm.running_var), atol=1e-4)
