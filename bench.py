@@ -417,7 +417,9 @@ def main():
         if dsph_ms is not None:
             cmd += ["--dsph-ms", f"{dsph_ms:.1f}"]
         try:
-            r = subprocess.run(cmd, capture_output=True, text=True, timeout=1500)
+            # 45 min: MITH's remat compile through the relay has been
+            # observed anywhere from 4 to >25 minutes
+            r = subprocess.run(cmd, capture_output=True, text=True, timeout=2700)
             forwarded = False
             for line in r.stderr.splitlines():
                 if line.startswith(("train step", "train-step bench failed")):
