@@ -243,7 +243,10 @@ def fused_attention(
     qkv: jax.Array,                  # [B, L, 3D] packed q|k|v (post qkv matmul)
     bias: Optional[jax.Array],       # [L, L] additive fp32 mask or None
     n_head: int,
-    block_b: int = 16,               # batch elems per program (16 best on v5e)
+    block_b: int = 16,               # batch elems per program.  MEASURED on
+                                     # v5e (bf16 ViT-B/32 encode): 16 ->
+                                     # 11.9k pairs/s, 8 -> 11.5k, 32 ->
+                                     # 0.47k (VMEM spill); keep 16.
 ) -> jax.Array:                      # [B, L, D] heads concatenated
     """Fused multi-head attention (Pallas fwd + bwd kernels).
 
