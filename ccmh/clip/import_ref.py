@@ -91,21 +91,65 @@ def _heads_dchmt(sd) -> Params:
             "txt_head": _select_hash(sd, "text_hash")}
 
 
+def _modality_hash(sd, prefix: str, layernorm: bool) -> Params:
+    """TwDH ModalityHash (model/TwDH.py:55-84): 1-token MHA (only the value
+    path can influence the output — softmax over one key is identity) +
+    LayerNorm/BatchNorm + fc to 2K pair logits."""
+    e = _np(sd[f"{prefix}.atten.in_proj_weight"]).shape[1]
+    ipw = _np(sd[f"{prefix}.atten.in_proj_weight"])
+    ipb = _np(sd[f"{prefix}.atten.in_proj_bias"])
+    p = {
+        "v_w": ipw[2 * e:3 * e].T,
+        "v_b": ipb[2 * e:3 * e],
+        "out_w": _np(sd[f"{prefix}.atten.out_proj.weight"]).T,
+        "out_b": _np(sd[f"{prefix}.atten.out_proj.bias"]),
+        "fc2_w": _np(sd[f"{prefix}.fc2.weight"]).T,
+        "fc2_b": _np(sd[f"{prefix}.fc2.bias"]),
+    }
+    key = "ln" if layernorm else "bn"
+    p[key] = {"scale": _np(sd[f"{prefix}.norm.weight"]),
+              "bias": _np(sd[f"{prefix}.norm.bias"])}
+    return p
+
+
+def _heads_twdh(sd) -> Params:
+    return {"img_head": _modality_hash(sd, "img_hash", layernorm=False),
+            "txt_head": _modality_hash(sd, "txt_hash", layernorm=True)}
+
+
+def _aux_twdh(sd) -> Params:
+    """The image head's live BatchNorm statistics (ccmh keeps them in
+    ``state.aux['bn']``; torch keeps them in the state dict)."""
+    return {"bn": {
+        "mean": _np(sd["img_hash.norm.running_mean"]),
+        "var": _np(sd["img_hash.norm.running_var"]),
+        "count": np.asarray(
+            int(_np(sd["img_hash.norm.num_batches_tracked"])), np.int32),
+    }}
+
+
 _HEAD_IMPORTERS = {
     **{m: _heads_linear_family for m in _LINEAR_FAMILY},
     "DNPH": _heads_dnph,
     "DPBE": _heads_dpbe,
     "DCHMT": _heads_dchmt,
+    "TwDH": _heads_twdh,
 }
+
+# methods whose torch state dict also carries ccmh aux state
+_AUX_IMPORTERS = {"TwDH": _aux_twdh}
 
 
 def import_reference_state_dict(
     sd: Dict[str, Any], method: str,
-) -> Tuple[Params, ClipConfig]:
-    """Reference trainer ``model.state_dict()`` -> (ccmh params, clip cfg).
+) -> Tuple[Params, ClipConfig, Params]:
+    """Reference trainer ``model.state_dict()`` -> (ccmh params, clip cfg,
+    aux updates).
 
-    The returned tree has the same structure as ``Trainer.state.params``
-    for ``method``: ``{"clip": ..., "img_head": ..., ...}``.
+    The params tree has the same structure as ``Trainer.state.params``
+    for ``method``: ``{"clip": ..., "img_head": ..., ...}``; the aux dict
+    (possibly empty) carries state-dict-resident buffers that live in
+    ``state.aux`` on the ccmh side (e.g. TwDH's BatchNorm running stats).
     """
     importer = _HEAD_IMPORTERS.get(method)
     if importer is None:
@@ -122,10 +166,11 @@ def import_reference_state_dict(
             "no clip.* keys — is this a trainer model-<epoch>.pth? (raw CLIP "
             ".pt archives load via --clip-path, clip/convert.py)")
     clip_params, clip_cfg = convert_state_dict(clip_sd)
-    return {"clip": clip_params, **importer(sd)}, clip_cfg
+    aux = _AUX_IMPORTERS.get(method, lambda _: {})(sd)
+    return {"clip": clip_params, **importer(sd)}, clip_cfg, aux
 
 
-def import_reference_pth(path: str, method: str) -> Tuple[Params, ClipConfig]:
+def import_reference_pth(path: str, method: str) -> Tuple[Params, ClipConfig, Params]:
     """Load a reference trainer ``model-<epoch>.pth`` from disk."""
     import torch
 

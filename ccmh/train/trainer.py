@@ -484,7 +484,8 @@ class Trainer:
             # be evaluated here (clip/import_ref.py)
             from ccmh.clip.import_ref import import_reference_pth
 
-            params, ref_cfg = import_reference_pth(path, self.cfg.method)
+            params, ref_cfg, aux_updates = import_reference_pth(
+                path, self.cfg.method)
             if ref_cfg != self.clip_cfg:
                 raise ValueError(
                     f"checkpoint {path} holds a {ref_cfg} tower but this run "
@@ -492,8 +493,12 @@ class Trainer:
                     f"the matching architecture")
             import jax.numpy as _jnp
 
+            aux = self.state.aux
+            if aux_updates:  # e.g. TwDH's BatchNorm running statistics
+                aux = dict(aux)
+                aux.update(jax.tree.map(_jnp.asarray, aux_updates))
             self.state = self.state._replace(
-                params=jax.tree.map(_jnp.asarray, params))
+                params=jax.tree.map(_jnp.asarray, params), aux=aux)
             self.logger.info(f"imported reference checkpoint {path}")
             return
         if os.path.isdir(path):

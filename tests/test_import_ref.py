@@ -106,7 +106,7 @@ def test_import_encode_parity(module, cls, method, tiny_clip_pt, tmp_path):
     pth = str(tmp_path / "model-0.pth")
     torch.save(model.state_dict(), pth)
 
-    params, ccfg = import_reference_pth(pth, method)
+    params, ccfg, _aux = import_reference_pth(pth, method)
     assert ccfg == TINY
 
     images, ids = make_inputs()
@@ -159,7 +159,7 @@ def test_import_dchmt_select_pairs(tiny_clip_pt, tmp_path):
     model = build_ref_model("DCHMT", "MDCMHT", tiny_clip_pt, tmp_path)
     pth = str(tmp_path / "model-0.pth")
     torch.save(model.state_dict(), pth)
-    params, _ = import_reference_pth(pth, "DCHMT")
+    params, _, _ = import_reference_pth(pth, "DCHMT")
 
     images, ids = make_inputs()
     t_img, _ = torch_inputs(images, ids)
@@ -180,7 +180,7 @@ def test_import_dnph_pre_layers(tiny_clip_pt, tmp_path):
                             num_classes=C)
     pth = str(tmp_path / "model-0.pth")
     torch.save(model.state_dict(), pth)
-    params, _ = import_reference_pth(pth, "DNPH")
+    params, _, _ = import_reference_pth(pth, "DNPH")
     assert set(params) == {"clip", "img_head", "txt_head", "img_pre", "txt_pre"}
 
     images, ids = make_inputs()
@@ -232,3 +232,52 @@ def test_trainer_pretrained_pth(tiny_clip_pt, tmp_path):
     maps = tr.test()
     for v in maps:
         assert 0.0 <= v <= 1.0
+
+
+def test_import_twdh_modality_heads(tiny_clip_pt, tmp_path):
+    """TwDH import: ModalityHash heads (value-path MHA + norm + pair fc)
+    AND the image-side BatchNorm running stats (state-dict buffers that
+    live in ccmh's state.aux).  Eval-path parity: torch encode_image pair
+    codes == ccmh modality_hash on imported params."""
+    import importlib
+
+    mdl = importlib.import_module("model.TwDH")
+    root = f"{REFERENCE_ROOT}/train/TwDH/center/mirflickr"
+    torch.manual_seed(4)
+    model = mdl.MTwDH(outputDim=512, clipPath=tiny_clip_pt,
+                      writer=_DummyWriter(), saveDir=str(tmp_path / "ref"),
+                      logger=logging.getLogger("import_ref"),
+                      long_center=f"{root}/long", short_center=f"{root}/short",
+                      trans=f"{root}/trans")
+    model.float()
+    # Baseclip's train()/eval() overrides reference self.image_hash, which
+    # MTwDH does not have (its heads are img_hash/txt_hash) — set the head
+    # modes explicitly
+    model.img_hash.train()
+    model.img_hash(torch.randn(8, TINY.embed_dim))  # advance running stats
+    model.img_hash.eval()
+    model.txt_hash.eval()
+
+    pth = str(tmp_path / "model-0.pth")
+    torch.save(model.state_dict(), pth)
+    params, ccfg, aux = import_reference_pth(pth, "TwDH")
+    assert ccfg == TINY
+    assert set(params) == {"clip", "img_head", "txt_head"}
+    np.testing.assert_allclose(
+        aux["bn"]["mean"], model.img_hash.norm.running_mean.numpy(), atol=1e-7)
+    np.testing.assert_allclose(
+        aux["bn"]["var"], model.img_hash.norm.running_var.numpy(), atol=1e-7)
+
+    # eval-path parity on the imported heads (BN in eval mode = running stats)
+    from ccmh.models.heads import modality_hash
+
+    x = np.random.RandomState(2).randn(4, TINY.embed_dim).astype(np.float32)
+    with torch.no_grad():
+        want = model.img_hash(torch.from_numpy(x)).numpy()
+    got, _ = modality_hash(params["img_head"], jnp.asarray(x),
+                           train=False, bn_state=aux["bn"])
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+    with torch.no_grad():
+        want_t = model.txt_hash(torch.from_numpy(x)).numpy()
+    got_t, _ = modality_hash(params["txt_head"], jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got_t), want_t, atol=2e-5, rtol=1e-4)
