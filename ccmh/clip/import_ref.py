@@ -8,8 +8,8 @@ so a reference-trained model can be evaluated (or fine-tuned) here —
 cross-framework validation in both directions: ccmh npz -> anywhere, and
 reference .pth -> ccmh.
 
-Supported methods cover every reference model whose evaluation path is
-CLIP + its saved head modules:
+Supported: every reference model that can actually produce a trained
+checkpoint —
 
   LinearHash family   DSPH, DNpH (TMM), DMsH_LN, DScPH, DDWSH, DDBH,
                       DHaPH  (model/modelbase.py:25-35, heads untouched)
@@ -18,10 +18,15 @@ CLIP + its saved head modules:
   DCHMT               HashLayer: fc->128 relu + K Linear(128,2) pairs
                       (model/DCHMT.py:8-28), fused into select-hash params
   DPBE                Sequential(Linear, L2Norm) heads (model/DPBE.py:23-25)
+  TwDH                ModalityHash heads + the image head's BatchNorm
+                      running stats (state-dict buffers -> ccmh state.aux)
+  MITH                full HashingModel (shared GCL, scan-stacked LCT
+                      blocks, fused bitwise hashing, model/MITH.py:217-454)
 
-MITH / TwDH / DPSIH / DGHDGH models carry method-specific module graphs
-(model/MITH.py, model/TwDH.py, ...) that do not exist reference-trained in
-this environment to validate against; importing them raises with a message
+DPSIH and DGHDGH are excluded BY CONSTRUCTION: their reference models are
+unrunnable as committed (MDPSIH unpacks a 2-tuple from a CLIP that returns
+one tensor; DGHDGH's loss modules are missing), so no reference-trained
+checkpoint of either can exist.  Importing them raises with a message
 naming the unmapped modules rather than silently dropping weights.
 """
 
@@ -128,12 +133,88 @@ def _aux_twdh(sd) -> Params:
     }}
 
 
+def _stack_trees(trees):
+    """List of identically-shaped nested dicts -> one dict of stacked
+    arrays (the scan-over-stacked-blocks layout, clip/model.py)."""
+    if isinstance(trees[0], dict):
+        return {k: _stack_trees([t[k] for t in trees]) for k in trees[0]}
+    return np.stack(trees)
+
+
+def _heads_mith(sd) -> Params:
+    """MITH HashingModel (model/MITH.py:217-454) -> ccmh models/mith.py
+    params: shared GCL (gcl_i and gcl_t are the same module upstream),
+    per-modality LCTs with scan-stacked transformer blocks, fused bitwise
+    hashing, concept projections."""
+    h = {k[len("hash."):]: v for k, v in sd.items() if k.startswith("hash.")}
+    if not h:
+        raise KeyError("hash.")
+
+    def lin(prefix, bias=True):
+        p = {"w": _np(h[f"{prefix}.weight"]).T}
+        if bias:
+            p["b"] = _np(h[f"{prefix}.bias"])
+        return p
+
+    def res_mlps(prefix):
+        layers, i = [], 0
+        while f"{prefix}.mlps.{i}.0.weight" in h:
+            layers.append({
+                "ln": {"scale": _np(h[f"{prefix}.lns.{i}.weight"]),
+                       "bias": _np(h[f"{prefix}.lns.{i}.bias"])},
+                "fc1": lin(f"{prefix}.mlps.{i}.0"),
+                "fc2": lin(f"{prefix}.mlps.{i}.3"),
+            })
+            i += 1
+        return {"layers": layers}
+
+    def blocks(prefix):
+        blks, i = [], 0
+        while f"{prefix}.resblocks.{i}.ln_1.weight" in h:
+            b = f"{prefix}.resblocks.{i}"
+            blks.append({
+                "ln_1": {"scale": _np(h[f"{b}.ln_1.weight"]),
+                         "bias": _np(h[f"{b}.ln_1.bias"])},
+                "attn": {"qkv_w": _np(h[f"{b}.attn.in_proj_weight"]).T,
+                         "qkv_b": _np(h[f"{b}.attn.in_proj_bias"]),
+                         "out_w": _np(h[f"{b}.attn.out_proj.weight"]).T,
+                         "out_b": _np(h[f"{b}.attn.out_proj.bias"])},
+                "ln_2": {"scale": _np(h[f"{b}.ln_2.weight"]),
+                         "bias": _np(h[f"{b}.ln_2.bias"])},
+                "mlp": {"fc_w": _np(h[f"{b}.mlp.c_fc.weight"]).T,
+                        "fc_b": _np(h[f"{b}.mlp.c_fc.bias"]),
+                        "proj_w": _np(h[f"{b}.mlp.c_proj.weight"]).T,
+                        "proj_b": _np(h[f"{b}.mlp.c_proj.bias"])},
+            })
+            i += 1
+        return _stack_trees(blks)
+
+    def lct(prefix):
+        ws, bs, j = [], [], 0
+        while f"{prefix}.hashing.fc_list.{j}.weight" in h:
+            ws.append(_np(h[f"{prefix}.hashing.fc_list.{j}.weight"])[0])
+            bs.append(_np(h[f"{prefix}.hashing.fc_list.{j}.bias"])[0])
+            j += 1
+        return {"blocks": blocks(f"{prefix}.transformer"),
+                "hashing": {"w": np.stack(ws), "b": np.stack(bs)}}
+
+    return {"hash": {
+        "gcl": {"mlp": res_mlps("gcl_i.mlp"),
+                "concept": lin("gcl_i.common_concept_embedding", bias=False)},
+        "lct_i": lct("lct_i"),
+        "lct_t": lct("lct_t"),
+        "img_concept_proj": lin("img_concept_proj"),
+        "txt_concept_proj": lin("txt_concept_proj"),
+    }}
+
+
 _HEAD_IMPORTERS = {
     **{m: _heads_linear_family for m in _LINEAR_FAMILY},
     "DNPH": _heads_dnph,
     "DPBE": _heads_dpbe,
     "DCHMT": _heads_dchmt,
     "TwDH": _heads_twdh,
+    "MITH": _heads_mith,
 }
 
 # methods whose torch state dict also carries ccmh aux state

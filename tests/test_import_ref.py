@@ -203,8 +203,8 @@ def test_import_dnph_pre_layers(tiny_clip_pt, tmp_path):
 def test_import_unsupported_method_raises(tiny_clip_pt, tmp_path):
     model = build_ref_model("DSPH", "MDSPH", tiny_clip_pt, tmp_path)
     sd = model.state_dict()
-    with pytest.raises(NotImplementedError, match="MITH"):
-        import_reference_state_dict(sd, "MITH")
+    with pytest.raises(NotImplementedError, match="DPSIH"):
+        import_reference_state_dict(sd, "DPSIH")
     with pytest.raises(ValueError, match="clip"):
         import_reference_state_dict(
             {k: v for k, v in sd.items() if not k.startswith("clip.")}, "DSPH")
@@ -281,3 +281,62 @@ def test_import_twdh_modality_heads(tiny_clip_pt, tmp_path):
         want_t = model.txt_hash(torch.from_numpy(x)).numpy()
     got_t, _ = modality_hash(params["txt_head"], jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(got_t), want_t, atol=2e-5, rtol=1e-4)
+
+
+def test_import_mith_hashing_model(tiny_clip_pt, tmp_path):
+    """MITH import: the full MITH trainer model (CLIP1 tower + HashingModel
+    with shared GCL, scan-stacked LCT blocks, fused bitwise hashing) maps
+    onto ccmh params; forward parity on the hashing model's six outputs.
+    The hardcoded clip_embed_dim=512 (model/MITH.py:461) is dependency-
+    injected at the tiny width, as in the trajectory golden."""
+    import importlib
+
+    from tests.test_trajectory import make_ref_args
+
+    mm = importlib.import_module("model.MITH")
+    args = make_ref_args("MITH", "MITH", tiny_clip_pt)
+    args.output_dim = K
+
+    torch.manual_seed(3)
+    model = mm.MITH.__new__(mm.MITH)
+    torch.nn.Module.__init__(model)
+    model.args = args
+    model.clip = mm.load_download_clip(args.clip_path)
+    model.hash = mm.HashingModel(clip_embed_dim=TINY.embed_dim, args=args)
+    model.float()
+    model.eval()
+
+    pth = str(tmp_path / "model-0.pth")
+    torch.save(model.state_dict(), pth)
+    params, ccfg, aux = import_reference_pth(pth, "MITH")
+    assert ccfg == TINY
+    assert set(params) == {"clip", "hash"}
+    assert aux == {}
+
+    import ccmh.models.mith as jmith
+
+    rng = np.random.RandomState(6)
+    L_IMG, L_TXT = 10, 7
+    img_tokens = rng.randn(L_IMG, B, TINY.embed_dim).astype(np.float32)
+    txt_tokens = rng.randn(L_TXT, B, TINY.embed_dim).astype(np.float32)
+    img_cls = rng.randn(B, TINY.embed_dim).astype(np.float32)
+    txt_eos = rng.randn(B, TINY.embed_dim).astype(np.float32)
+    kpm = np.zeros((B, L_TXT), bool)
+    kpm[:, -2:] = True
+
+    with torch.no_grad():
+        want = model.hash(
+            torch.from_numpy(img_tokens), torch.from_numpy(txt_tokens),
+            torch.from_numpy(img_cls), torch.from_numpy(txt_eos),
+            torch.from_numpy(kpm))
+    got = jmith.hashing_model(
+        params["hash"],
+        jnp.asarray(img_tokens.transpose(1, 0, 2)),
+        jnp.asarray(txt_tokens.transpose(1, 0, 2)),
+        jnp.asarray(img_cls), jnp.asarray(txt_eos), jnp.asarray(kpm),
+        top_k=args.top_k_label)
+    for name in ("img_cls_hash", "txt_cls_hash", "img_tokens_hash",
+                 "txt_tokens_hash"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), want[name].numpy(),
+            atol=3e-5, rtol=1e-4, err_msg=name)
