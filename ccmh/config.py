@@ -64,6 +64,12 @@ class DNPHConfig:
     proxy_lr: float = 1e-4
     noise_weight: float = 0.1             # b_reg.py:41 scaling of noise term
     quan_alpha: float = 0.01
+    # The reference constructs torch.optim.SGD over the proxies
+    # (hash_train.py:48) but never calls its step(), so upstream proxies
+    # never move.  Default reproduces that (imported reference .pth
+    # checkpoints continue on reference-faithful dynamics); set True to
+    # opt into the clearly-intended repair of actually stepping them.
+    step_proxies: bool = False
 
 
 @dataclass
@@ -220,6 +226,10 @@ class Config:
     cache_images: bool = False            # decoded-tensor cache (data/cache.py)
     cache_dir: str = ""                   # default: <data_dir>/_ccmh_cache
     ragged_last: bool = True              # true-size final train batch (ref parity)
+    # device-side double buffering (data/prefetch.py): batches resident on
+    # device ahead of the step so H2D transfer overlaps compute; <=1 means
+    # serialized put-then-step
+    prefetch_device: int = 2
 
     # TPU-specific
     remat: bool = False                   # recompute tower activations in bwd

@@ -223,9 +223,13 @@ def dghdgh_loss(
              + triplet_loss(zt, zi, it_ti, margin, neg_embs=syn["ti"], hardness="hard")
              + triplet_loss(zt, zt, ii_tt, margin, neg_embs=syn["tt"], hardness="hard")) / 4
 
-    # adaptive λ3 = 1 - exp(-β / J_gen_avg), clamped (hash_train.py:95-101)
+    # adaptive λ3 = 1 - exp(-β / J_gen_avg) (hash_train.py:95-101).  The
+    # reference clamps to [0.1, 0.9] and then resets any value NOT exactly
+    # 0.1 or 0.9 back to 0.1 (`if lambda3 not in [0.1, 0.9]: lambda3 =
+    # 0.1`), so the effective schedule is binary: 0.9 when the raw value
+    # reaches the upper clamp, 0.1 otherwise.  Reproduced exactly.
     x = jnp.where(j_gen_avg == 0, 1e6, j_gen_avg)
-    lam3 = jnp.clip(1.0 - jnp.exp(-beta / x), 0.1, 0.9)
+    lam3 = jnp.where(1.0 - jnp.exp(-beta / x) >= 0.9, 0.9, 0.1)
     j_m = l1 * j_r + l2 * j_gca + sg(lam3) * j_syn
 
     # ---- classifier step (detached embeddings)

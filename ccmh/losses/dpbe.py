@@ -81,16 +81,29 @@ def n_triplets(label: jax.Array) -> jax.Array:
     TripletMinner computes it (train/DPBE/triplet_miner.py:5-38) — the
     count scales every Hessian term, so its upstream quirks are reproduced
     bit-for-bit: ``matches = (L @ L^T).byte()`` keeps the raw overlap count
-    (mod 256) rather than a boolean, and ``diffs = matches ^ 1`` marks a
-    pair as a NEGATIVE whenever that byte XOR 1 is nonzero — overlap 0
-    (0^1=1) but also any overlap >= 2 (2^1=3, 3^1=2, ...).  Only overlap
-    exactly 1 is excluded from the negatives; the diagonal counts as a
-    positive.  (Trajectory-parity evidence: tests/test_trajectory.py
+    (mod 256) rather than a boolean, ``diffs = matches ^ 1`` marks a pair
+    as a NEGATIVE whenever that byte XOR 1 is nonzero (overlap 0, and any
+    overlap >= 2), and the triplet tensor itself is the **uint8 product**
+    ``matches[a,p] * diffs[a,n]`` — products that are nonzero multiples of
+    256 (e.g. 16*16, 64*4) wrap to 0 and are DROPPED from the count.
+
+    The wrap is counted without materialising the [B,B,B] tensor: a uint8
+    product is 0 mod 256 iff v2(x) + v2(y) >= 8 (v2 = 2-adic valuation,
+    v2(0) treated as 8 since x = 0 mod 256), so per-anchor 9-bin histograms
+    of v2(matches) and v2(diffs) give the exact count via a [9,9] mask.
+    (Trajectory-parity evidence: tests/test_trajectory.py
     test_dpbe_trajectory asserts the resulting Hessian EMA buffers.)"""
     m = jnp.asarray(label @ label.T, jnp.int32) % 256
-    pos = jnp.sum(m != 0, axis=1)
-    neg = jnp.sum((m ^ 1) != 0, axis=1)
-    return jnp.sum(pos * neg)
+    d = m ^ 1
+
+    def v2(x):  # 2-adic valuation of bytes: 8 for 0, else trailing zeros
+        return sum((x % (1 << j) == 0).astype(jnp.int32) for j in range(1, 9))
+
+    hist_m = jnp.sum(jax.nn.one_hot(v2(m), 9, dtype=jnp.int32), axis=1)
+    hist_d = jnp.sum(jax.nn.one_hot(v2(d), 9, dtype=jnp.int32), axis=1)
+    i = jnp.arange(9)
+    nonzero = (i[:, None] + i[None, :] < 8).astype(jnp.int32)
+    return jnp.einsum("ai,aj,ij->", hist_m, hist_d, nonzero)
 
 
 def dpbe_sampled_loss(

@@ -31,6 +31,49 @@ import jax
 import jax.numpy as jnp
 
 from ccmh.ops.hamming import hamming_distance
+from ccmh.ops.packing import pack_codes
+
+
+def _gnd_matrix(q_labels: jax.Array, r_labels: jax.Array) -> jax.Array:
+    """Relevance matrix [C, N] {0,1} int32: "any shared label"
+    (calc_neighbor, utils/utils.py:26-28).
+
+    Two layouts: float multi-hot labels use one fp32 MXU matmul (exact for
+    0/1 vectors); uint32 BIT-PACKED labels (pack_codes lanes) use AND + a
+    lane OR — 32x less HBM for the replicated gallery labels (1M x 291
+    classes: 40 MB packed vs ~1.1 GB fp32), which is the real per-chip
+    memory term of mesh eval.  Both give identical gnd."""
+    if q_labels.dtype == jnp.uint32:
+        acc = jnp.zeros((q_labels.shape[0], r_labels.shape[0]), jnp.uint32)
+        for lane in range(q_labels.shape[1]):     # ceil(L/32) lanes, tiny
+            acc = acc | (q_labels[:, lane][:, None] & r_labels[None, :, lane])
+        return (acc != 0).astype(jnp.int32)
+    return (
+        jnp.dot(q_labels, r_labels.T, preferred_element_type=jnp.float32) > 0
+    ).astype(jnp.int32)
+
+
+# pack label matrices above this element count: below it the fp32 matmul is
+# one cheap MXU call and packing would only add compile variants; above it
+# the replicated fp32 gallery labels dominate per-chip eval memory
+_PACK_LABEL_ELEMS = 1 << 26
+
+
+@functools.lru_cache(maxsize=1)
+def _chunk_budget_elems() -> int:
+    """Element budget for the [chunk, N] eval working set, derived from the
+    default device's reported memory (not a hardcoded per-chip constant):
+    ~3 int32 buffers live through the sort (~12 B/elem) and half the device
+    is left for codes/labels/executables.  Backends without memory_stats
+    (CPU) fall back to the conservative 2^28-element sizing."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+    except Exception:
+        limit = 0
+    if limit <= 0:
+        return 1 << 28
+    return max(1 << 28, int(limit * 0.5) // 12)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "dist_fn"))
@@ -45,9 +88,7 @@ def _map_chunk(
     """Sum of per-query APs for one chunk (scalar float32)."""
     n = r_codes.shape[0]
     dist = (dist_fn or hamming_distance)(q_codes, r_codes)        # [C, N] int32
-    gnd = (
-        jnp.dot(q_labels, r_labels.T, preferred_element_type=jnp.float32) > 0
-    ).astype(jnp.int32)                                           # [C, N]
+    gnd = _gnd_matrix(q_labels, r_labels)                         # [C, N]
 
     tsum = jnp.sum(gnd, axis=1)                                   # [C]
     total = tsum if k is None else jnp.minimum(k, tsum)
@@ -100,9 +141,7 @@ def _map_chunk_hist(
     has the same noise, utils/calc_utils.py:31).
     """
     dist = (dist_fn or hamming_distance)(q_codes, r_codes)        # [C, N]
-    gnd = (
-        jnp.dot(q_labels, r_labels.T, preferred_element_type=jnp.float32) > 0
-    ).astype(jnp.float32)
+    gnd = _gnd_matrix(q_labels, r_labels).astype(jnp.float32)
 
     # per-bin counts via lax.scan over GROUPS of 8 bins: the scan bounds live
     # [C, N] compare masks at 8 (a fully unrolled python loop keeps all
@@ -150,6 +189,7 @@ def calc_map(
     n_bins: Optional[int] = None,
     mesh=None,
     mesh_axis: str = "data",
+    pack_labels: Optional[bool] = None,
 ) -> jax.Array:
     """mAP@k of Hamming ranking (k=None -> mAP@all).
 
@@ -177,21 +217,37 @@ def calc_map(
     with one psum (compiler-inserted from the shardings).  Chunks are
     padded to a device-count multiple.  Replaces the reference's CPU
     python loop over queries AND scales it across the mesh.
+
+    ``pack_labels``: bit-pack multi-hot labels into uint32 lanes and compute
+    relevance via AND+lane-OR instead of the fp32 matmul — 32x smaller
+    (replicated) gallery labels, identical gnd.  Default (None) packs
+    automatically when the gallery label matrix exceeds ~64M elements
+    (the 1M x 291-class regime where fp32 replicas cost ~1.1 GB/chip).
     """
     import numpy as onp
 
     use_hist = (method == "hist") or (method == "auto" and k is None)
     num_query = q_codes.shape[0]
     if chunk is None:
-        # size the [chunk, N] working set to ~6e8 elements (~2.4 GB int32,
-        # ~3 live buffers through the sort): big enough that a COCO-sized
-        # eval (5k x 117k) is ONE dispatch — each extra dispatch costs a
-        # full host round trip, which dominated exact-eval latency when
-        # this used to split COCO into 3 chunks
-        chunk = max(256, min(num_query, int(6e8) // max(r_codes.shape[0], 1)))
+        # size the [chunk, N] working set from the device's memory budget:
+        # big enough that a COCO-sized eval (5k x 117k) is ONE dispatch —
+        # each extra dispatch costs a full host round trip, which dominated
+        # exact-eval latency when this used to split COCO into 3 chunks
+        chunk = max(256, min(num_query,
+                             _chunk_budget_elems() // max(r_codes.shape[0], 1)))
+
+    if pack_labels is None:
+        pack_labels = (
+            int(r_labels.shape[0]) * int(r_labels.shape[1]) >= _PACK_LABEL_ELEMS)
 
     q_codes_h = onp.asarray(q_codes)
-    q_labels_h = onp.asarray(q_labels, dtype=onp.float32)
+    if pack_labels:
+        # one uint32 lane per 32 classes; chunk padding below pads packed
+        # rows with zero lanes (no labels -> tsum 0 -> AP 0, as for fp32)
+        q_labels_h = onp.asarray(pack_codes(jnp.asarray(q_labels)))
+        r_labels = pack_codes(jnp.asarray(r_labels))
+    else:
+        q_labels_h = onp.asarray(q_labels, dtype=onp.float32)
     if n_bins is None:
         n_bins = q_codes_h.shape[1] + 1
 
@@ -205,7 +261,8 @@ def calc_map(
         r_repl = NamedSharding(mesh, P())
 
     r_codes = jnp.asarray(r_codes)
-    r_labels = jnp.asarray(r_labels, dtype=jnp.float32)
+    if not pack_labels:
+        r_labels = jnp.asarray(r_labels, dtype=jnp.float32)
     if r_repl is not None:
         r_codes = jax.device_put(r_codes, r_repl)
         r_labels = jax.device_put(r_labels, r_repl)
@@ -241,11 +298,12 @@ def calc_map_4way(
     dist_fn=None,
     n_bins: Optional[int] = None,
     mesh=None,
+    pack_labels: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """(i2t, t2i, i2i, t2t) mAP — the reference's validation quartet
     (train/base.py:259-262)."""
     kw = dict(k=k, chunk=chunk, method=method, dist_fn=dist_fn,
-              n_bins=n_bins, mesh=mesh)
+              n_bins=n_bins, mesh=mesh, pack_labels=pack_labels)
     i2t = calc_map(query_img, retrieval_txt, q_labels, r_labels, **kw)
     t2i = calc_map(query_txt, retrieval_img, q_labels, r_labels, **kw)
     i2i = calc_map(query_img, retrieval_img, q_labels, r_labels, **kw)

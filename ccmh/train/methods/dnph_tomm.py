@@ -2,12 +2,14 @@
 proxy loss + Hungarian-matched noise regularizer.  Proxies get their own
 plain SGD(1e-4) (hash_train.py:48).
 
-Recorded upstream bug, repaired: the reference constructs that proxy SGD
-but never calls its step() anywhere (hash_train.py:48 is its only
-mention), so its proxies never actually move.  Here the optimizer the
-reference clearly intended is applied every step (same repair class as
-DScPH's never-optimized rotation); the trajectory golden pins both
-behaviors (tests/test_trajectory.py test_dnph_trajectory)."""
+Recorded upstream bug, repair gated: the reference constructs that proxy
+SGD but never calls its step() anywhere (hash_train.py:48 is its only
+mention), so its proxies never actually move.  By default ccmh reproduces
+that no-step behavior (so imported reference .pth checkpoints continue on
+reference-faithful dynamics); ``--set dnph.step_proxies=true`` opts into
+the clearly-intended repair of stepping the SGD.  The trajectory golden
+pins the default against the real reference trainer
+(tests/test_trajectory.py test_dnph_trajectory)."""
 
 from __future__ import annotations
 
@@ -63,7 +65,11 @@ def _encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig):
 
 
 def _extra_tx(cfg: Config) -> optax.GradientTransformation:
-    return optax.sgd(cfg.dnph.proxy_lr)
+    if cfg.dnph.step_proxies:
+        return optax.sgd(cfg.dnph.proxy_lr)
+    # reference-faithful: the SGD exists but its step() is never called
+    # (train/DNPH_TOMM/hash_train.py:48) — proxies stay at init
+    return optax.set_to_zero()
 
 
 register(Method(name="DNPH", init=_init, loss=_loss, encode=_encode, extra_tx=_extra_tx))

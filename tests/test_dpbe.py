@@ -101,3 +101,41 @@ def test_loss_and_hessian_update_finite():
     assert float(jnp.max(jnp.abs(grads["w"]))) > 0
     for h in jax.tree.leaves((h_i, h_t)):
         assert np.all(np.asarray(h) >= 0) or np.all(np.isfinite(np.asarray(h)))
+
+
+def test_n_triplets_matches_reference_miner():
+    """n_triplets must equal len(TripletMinner(labels)[0]) bit-for-bit —
+    including the uint8 wrap where matches[a,p] * diffs[a,n] is a nonzero
+    multiple of 256 and torch.where drops the triplet
+    (train/DPBE/triplet_miner.py:24-26).  Labels are crafted so both the
+    plain regime and the wrap regime occur (overlaps of 16 x (16^1=17?) —
+    we force pairs with overlap 16 and 17 so 16*16=256 -> 0)."""
+    sys.path.insert(0, "/root/reference/train/DPBE")
+    try:
+        from triplet_miner import TripletMinner
+    finally:
+        sys.path.pop(0)
+    from ccmh.losses.dpbe import n_triplets
+
+    cases = []
+    r = np.random.RandomState(7)
+    # generic multi-label batch
+    cases.append((r.rand(14, 80) < 0.15).astype(np.float32))
+    # wrap-heavy batch: big shared blocks -> overlaps 16/32/64 appear, and
+    # diffs = overlap^1 gives odd values; products hit exact 256 multiples
+    wrap = np.zeros((10, 80), np.float32)
+    wrap[:, :16] = 1.0                       # everyone shares 16 labels
+    wrap[::2, 16:32] = 1.0                   # evens share 16 more (overlap 32)
+    wrap[1, 32] = 1.0
+    cases.append(wrap)
+    # overlap > 255 regime (nclass 291-like): byte() wraps the match count
+    big = np.zeros((6, 300), np.float32)
+    big[:, :260] = 1.0                       # overlap 260 -> byte 4
+    big[0, 260:] = 1.0
+    cases.append(big)
+
+    miner = TripletMinner()
+    for label in cases:
+        want = len(miner(torch.from_numpy(label))[0])
+        got = int(n_triplets(jnp.asarray(label)))
+        assert got == want, (got, want)

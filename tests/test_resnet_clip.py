@@ -12,7 +12,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from conftest import load_reference_module
+from tests.conftest import load_reference_module
 
 from ccmh.clip.convert import convert_state_dict, save_params_npz, load_params_npz
 from ccmh.clip.model import encode_image, encode_text, init_clip_params, ClipConfig

@@ -29,14 +29,14 @@ sampling draws from the unalignable numpy RNG, train/DHaPH/hash_train.py:57-93),
 DNpH TMM (qmi loss, train/DNpH_TMM/hash_train.py:46-74),
 DScPH (CPF proxies in the BertAdam groups + Householder quantization,
 train/DScPH/hash_train.py:51-80),
-DDBH (BP + similarity-weighted quantization, train/DDBH/hash_train.py:48-86).
+DDBH (BP + similarity-weighted quantization, train/DDBH/hash_train.py:48-86),
+TwDH (ModalityHash heads with live image-side BatchNorm + center BCE, with
+the ±1 tie fill pinned on both sides, train/TwDH/hash_train.py:55-160).
 
-Not covered (no runnable reference trainer exists to compose): DDWSH
-(train/DDWSH/loss.py is unconstructible), DGHDGH (gnn/graph modules missing
-upstream — goldens run the surviving loss pieces, test_dghdgh_loss.py);
-TwDH's center-tie resolution draws random bits per batch from the torch
-global RNG inside the step (hash_train.py:96-105), so only its parts are
-golden-tested (test_twdh_data.py, test_losses.py).
+That is 12 of 14.  Not covered (no runnable reference trainer exists to
+compose): DDWSH (train/DDWSH/loss.py is unconstructible), DGHDGH (gnn/graph
+modules missing upstream — goldens run the surviving loss pieces,
+test_dghdgh_loss.py).
 """
 
 import argparse
@@ -752,6 +752,10 @@ def test_dnph_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
     t.train_epoch(0)
     ref_losses = [l1 - 0.1 * (rec["noise"][2 * i] + rec["noise"][2 * i + 1])
                   for i, l1 in enumerate(t.DNPH.values)]
+    # copies BEFORE the run: the jitted step donates state buffers, so the
+    # originals are deleted afterwards (needed by the opt-in rerun below)
+    clip_params2 = jax.tree.map(jnp.array, clip_params)
+    heads2 = jax.tree.map(jnp.array, heads)
     losses, state = run_ccmh("DNPH", cfg, clip_params, heads, extra, {},
                              batches)
 
@@ -764,13 +768,20 @@ def test_dnph_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
                       2e-5, "img_pre")
     # Proxies: the reference CREATES torch.optim.SGD(DNPH.parameters())
     # but never calls step() (hash_train.py:48 is its only mention), so its
-    # proxies never move — a recorded upstream bug, repaired in ccmh (the
-    # clear intent of building the optimizer; same class of repair as
-    # DScPH's never-optimized rotation).  Pin both facts: torch unchanged,
-    # ccmh moved (at SGD lr 1e-4 the drift is too small to disturb the
-    # loss/head parity asserted above).
+    # proxies never move — a recorded upstream bug.  The ccmh default
+    # reproduces that no-step behavior exactly (dnph.step_proxies=False);
+    # the intended repair is opt-in.  Pin the default: both sides unchanged.
     np.testing.assert_array_equal(tnp(t.DNPH.inner.proxies), proxies0)
-    moved = np.abs(np.asarray(state.extra["proxies"]) - proxies0).max()
+    np.testing.assert_array_equal(np.asarray(state.extra["proxies"]), proxies0)
+
+    # opt-in repair: with dnph.step_proxies=true the SGD actually steps
+    cfg_fix = Config(method="DNPH", output_dim=K, nclass=C, epochs=1,
+                     batch_size=B, train_num=N_TRAIN)
+    cfg_fix.dnph.step_proxies = True
+    _, state_fix = run_ccmh("DNPH", cfg_fix, clip_params2, heads2,
+                            {"proxies": jnp.asarray(proxies0)}, {},
+                            batches[:2])
+    moved = np.abs(np.asarray(state_fix.extra["proxies"]) - proxies0).max()
     assert 0 < moved < 1e-2, moved
 
 
