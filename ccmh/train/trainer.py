@@ -219,16 +219,28 @@ class Trainer:
             jax.profiler.start_trace(os.path.join(cfg.save_dir, "profile"))
         losses = []
         start = time.time()
-        for batch in self.train_loader:
-            if self.mesh is not None:
-                from ccmh.parallel.mesh import shard_batch
+        epoch_scalar = jnp.asarray(epoch, jnp.int32)
+        if self.mesh is not None:
+            from ccmh.parallel.mesh import shard_batch
 
-                batch = shard_batch(self.mesh, batch)
+            def put(b):
+                b = shard_batch(self.mesh, b)
                 # scalars replicate (shard_batch shards leading axes only)
-                batch["epoch"] = jnp.asarray(epoch, jnp.int32)
-            else:
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                batch["epoch"] = jnp.asarray(epoch, jnp.int32)
+                b["epoch"] = epoch_scalar
+                return b
+        else:
+            def put(b):
+                b = {k: jax.device_put(v) for k, v in b.items()}
+                b["epoch"] = epoch_scalar
+                return b
+
+        # double-buffered puts: the transfer of batch N+1 is enqueued while
+        # step N computes, so the epoch runs at ~max(put, step) instead of
+        # put + step serialized (data/prefetch.py)
+        from ccmh.data.prefetch import device_prefetch
+
+        for batch in device_prefetch(self.train_loader, put,
+                                     depth=getattr(cfg, "prefetch_device", 2)):
             self.state, metrics = self.train_step(self.state, batch)
             self.global_step += 1
             losses.append(metrics["loss"])
@@ -253,17 +265,12 @@ class Trainer:
         uses every chip (params are replicated; GSPMD shards the towers)."""
         img_buf = txt_buf = None  # width inferred from the first batch
         encoder_time = 0.0
-        for batch in loader:
-            start = time.time()
-            if self.mesh is not None:
-                from ccmh.parallel.mesh import shard_batch
+        from ccmh.data.prefetch import device_prefetch
 
-                jbatch = shard_batch(
-                    self.mesh,
-                    {key: v for key, v in batch.items() if key != "valid"})
-            else:
-                jbatch = {key: jnp.asarray(v) for key, v in batch.items()
-                          if key not in ("valid",)}
+        for jbatch, batch in device_prefetch(
+                loader, self._put_eval,
+                depth=getattr(self.cfg, "prefetch_device", 2)):
+            start = time.time()
             img_codes, txt_codes = self.encode_step(self.state.params, self.state.aux, jbatch)
             img_codes, txt_codes = np.asarray(img_codes), np.asarray(txt_codes)
             encoder_time += time.time() - start
@@ -275,6 +282,20 @@ class Trainer:
             img_buf[idx] = img_codes[valid]
             txt_buf[idx] = txt_codes[valid]
         return img_buf, txt_buf, encoder_time
+
+    def _put_eval(self, batch):
+        """(device batch without 'valid', host batch) — the host dict keeps
+        the index/valid arrays the scatter needs after encoding."""
+        if self.mesh is not None:
+            from ccmh.parallel.mesh import shard_batch
+
+            jbatch = shard_batch(
+                self.mesh,
+                {key: v for key, v in batch.items() if key != "valid"})
+        else:
+            jbatch = {key: jax.device_put(v) for key, v in batch.items()
+                      if key != "valid"}
+        return jbatch, batch
 
     # hist-vs-exact mAP agreement bound: a hist candidate within this margin
     # of the running max triggers an exact recompute before any best-epoch
@@ -342,16 +363,11 @@ class Trainer:
 
     def _get_multi_codes(self, loader: BatchIterator, length: int):
         buffers: Dict[str, list] = {}
-        for batch in loader:
-            if self.mesh is not None:
-                from ccmh.parallel.mesh import shard_batch
+        from ccmh.data.prefetch import device_prefetch
 
-                jbatch = shard_batch(
-                    self.mesh,
-                    {key: v for key, v in batch.items() if key != "valid"})
-            else:
-                jbatch = {key: jnp.asarray(v) for key, v in batch.items()
-                          if key != "valid"}
+        for jbatch, batch in device_prefetch(
+                loader, self._put_eval,
+                depth=getattr(self.cfg, "prefetch_device", 2)):
             out = self.multi_encode_step(self.state.params, self.state.aux, jbatch)
             valid = batch["valid"]
             idx = batch["index"][valid]
