@@ -226,6 +226,9 @@ class Config:
     cache_images: bool = False            # decoded-tensor cache (data/cache.py)
     cache_dir: str = ""                   # default: <data_dir>/_ccmh_cache
     ragged_last: bool = True              # true-size final train batch (ref parity)
+    shuffle: bool = True                  # epoch-shuffle the train split
+                                          # (off: deterministic order, used
+                                          # by the whole-loop parity harness)
     # device-side double buffering (data/prefetch.py): batches resident on
     # device ahead of the step so H2D transfer overlaps compute; <=1 means
     # serialized put-then-step
@@ -233,6 +236,13 @@ class Config:
 
     # TPU-specific
     remat: bool = False                   # recompute tower activations in bwd
+    # lax.scan unroll over the transformer blocks: -1/0 = full unroll (no
+    # while-loop, no dynamic_update_slice stacking of activation saves in
+    # the backward).  Default FULL: measured 103.1 -> 78.1 ms on the B=256
+    # bf16 DSPH train step on v5e (+32% throughput, tools/profile_step.py);
+    # numerics identical (test_scan_unroll_identical).  Set 1 for the
+    # classic scan (fastest compile).
+    scan_unroll: int = 0
     mesh_shape: Tuple[int, ...] = (1,)    # data-parallel mesh ("data" axis)
     param_dtype: str = "float32"
     compute_dtype: str = "float32"        # "bfloat16" for production

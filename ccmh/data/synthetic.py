@@ -52,6 +52,7 @@ def write_synthetic_mat_dataset(
     resolution: int = 32,
     seed: int = 0,
     jpeg: bool = False,
+    captions_per_item: int = 3,
 ) -> str:
     """Write index.npy (npy image mode) + caption.mat + label.mat.
 
@@ -61,23 +62,30 @@ def write_synthetic_mat_dataset(
     batch loader in end-to-end runs.
     """
     os.makedirs(out_dir, exist_ok=True)
-    raw = synthetic_arrays(n, n_class, resolution, seed=seed)
+    raw = synthetic_arrays(n, n_class, resolution, seed=seed,
+                           captions_per_item=captions_per_item)
     if jpeg:
         from PIL import Image
 
         img_dir = os.path.join(out_dir, "images")
         os.makedirs(img_dir, exist_ok=True)
-        paths = np.empty(n, dtype=object)
+        paths = []
         for i in range(n):
             p = os.path.join(img_dir, f"{i:06d}.jpg")
             Image.fromarray(raw.indexes[i]).save(p, quality=92)
-            paths[i] = p
+            paths.append(p)
+        # plain list of strings: scipy stores a space-padded [N] char matrix
+        # — the layout the reference builder produces (make_coco.py:159-163)
+        # and why its BaseDataset calls .strip() (dataset/base.py:55)
         scio.savemat(os.path.join(out_dir, "index.mat"), {"index": paths})
     else:
         np.save(os.path.join(out_dir, "index.npy"), raw.indexes)
     caption_cells = np.empty((1, n), dtype=object)
     for i in range(n):
-        caption_cells[0, i] = np.asarray(raw.captions[i], dtype=object)
+        # plain '<U' char matrix per cell (NOT dtype=object): loadmat then
+        # yields np.str_ elements, the layout the reference builders produce
+        # (make_coco.py captionList) and its tokenizer consumes
+        caption_cells[0, i] = np.asarray(raw.captions[i])
     scio.savemat(os.path.join(out_dir, "caption.mat"), {"caption": caption_cells})
     scio.savemat(os.path.join(out_dir, "label.mat"), {"category": raw.labels})
     return out_dir

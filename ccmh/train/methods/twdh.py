@@ -61,14 +61,26 @@ def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
     return loss, (new_aux, metrics)
 
 
+# Reference quirk, reproduced: TwDH's overridden valid() NEVER calls
+# change_state("valid") (train/TwDH/hash_train.py:206-217 — only train_epoch
+# sets a mode, :56), so the image head's BatchNorm runs in TRAIN mode for
+# every get_code — evaluation normalizes with the EVAL BATCH's statistics,
+# not the running stats.  The running stats in aux["bn"] are consequently
+# dead state upstream (updated, never consumed); ccmh keeps them for .pth
+# interchange only.  Whole-loop parity evidence:
+# tests/test_whole_loop.py::test_whole_loop_twdh (batch-stats encode matches
+# the composed reference loop's codes; running-stats encode diverges ~38%
+# on the image side).
 def _encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig):
-    img_long, txt_long, _, _, _ = _forward(params, aux, batch, clip_cfg, cfg)
+    img_long, txt_long, _, _, _ = _forward(params, aux, batch, clip_cfg, cfg,
+                                           train=True)
     return pair_code(img_long), pair_code(txt_long)
 
 
 def _multi_encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig) -> Dict:
     """Long + every short code length (train/TwDH/hash_train.py:179-217)."""
-    img_long, txt_long, img_short, txt_short, _ = _forward(params, aux, batch, clip_cfg, cfg)
+    img_long, txt_long, img_short, txt_short, _ = _forward(
+        params, aux, batch, clip_cfg, cfg, train=True)
     out = {"long": (pair_code(img_long), pair_code(txt_long))}
     for k in img_short:
         out[f"short{k}"] = (pair_code(img_short[k]), pair_code(txt_short[k]))

@@ -115,7 +115,8 @@ class Trainer:
         ragged = getattr(cfg, "ragged_last", True) and not (
             cfg.mesh_shape and cfg.mesh_shape[0] > 1)
         self.train_loader = BatchIterator(
-            self.train_data, cfg.batch_size, shuffle=True, seed=cfg.seed,
+            self.train_data, cfg.batch_size,
+            shuffle=getattr(cfg, "shuffle", True), seed=cfg.seed,
             num_workers=nw, image_cache=caches["train"], ragged_last=ragged)
         self.query_loader = BatchIterator(
             self.query_data, cfg.eval_batch, shuffle=False, seed=cfg.seed,

@@ -44,20 +44,95 @@ if "ftfy" not in sys.modules:
         sys.modules["ftfy"] = stub
 
 
-# torchvision is absent; reference model/base/clip.py only needs transform
-# symbols at import time, so stub them for the parity oracles.
+# torchvision is absent; the reference needs its transform pipeline both at
+# import time (model/base/clip.py) and EXECUTABLY (dataset/base.py:35-44 —
+# the whole-loop parity harness runs the real reference data pipeline).
+# Provide a functional stub faithful to torchvision semantics: Resize
+# (short-side int or exact tuple, torchvision's int() rounding), CenterCrop
+# (round() offsets), ToTensor (CHW [0,1] float32), Normalize.
 if "torchvision" not in sys.modules:
     try:
         import torchvision  # noqa: F401
     except ImportError:
-        tv = types.ModuleType("torchvision")
-        tvt = types.ModuleType("torchvision.transforms")
-        for _name in ("Compose", "Resize", "CenterCrop", "ToTensor", "Normalize"):
-            setattr(tvt, _name, type(_name, (), {"__init__": lambda self, *a, **k: None}))
-        tvt.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic")
-        tv.transforms = tvt
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tvt
+        def _make_torchvision_stub():
+            tv = types.ModuleType("torchvision")
+            tvt = types.ModuleType("torchvision.transforms")
+
+            class Compose:
+                def __init__(self, transforms):
+                    self.transforms = transforms
+
+                def __call__(self, x):
+                    for t in self.transforms:
+                        x = t(x)
+                    return x
+
+            class Resize:
+                def __init__(self, size, interpolation=None):
+                    self.size = size
+                    self.interpolation = interpolation
+
+                def __call__(self, img):
+                    from PIL import Image
+
+                    interp = (self.interpolation
+                              if isinstance(self.interpolation, int)
+                              else Image.BICUBIC)
+                    if isinstance(self.size, (tuple, list)):
+                        h, w = self.size
+                        return img.resize((w, h), interp)
+                    size = self.size
+                    w, h = img.size
+                    short, long = (w, h) if w <= h else (h, w)
+                    if short == size:
+                        return img
+                    new_short, new_long = size, int(size * long / short)
+                    ow, oh = ((new_short, new_long) if w <= h
+                              else (new_long, new_short))
+                    return img.resize((ow, oh), interp)
+
+            class CenterCrop:
+                def __init__(self, size):
+                    self.size = (size, size) if isinstance(size, int) else size
+
+                def __call__(self, img):
+                    th, tw = self.size
+                    w, h = img.size
+                    left = int(round((w - tw) / 2.0))
+                    top = int(round((h - th) / 2.0))
+                    return img.crop((left, top, left + tw, top + th))
+
+            class ToTensor:
+                def __call__(self, img):
+                    import numpy as _np
+                    import torch as _torch
+
+                    arr = _np.asarray(img, _np.float32) / 255.0
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    return _torch.from_numpy(arr.transpose(2, 0, 1).copy())
+
+            class Normalize:
+                def __init__(self, mean, std):
+                    import torch as _torch
+
+                    self.mean = _torch.tensor(mean).view(-1, 1, 1)
+                    self.std = _torch.tensor(std).view(-1, 1, 1)
+
+                def __call__(self, t):
+                    return (t - self.mean) / self.std
+
+            for _n, _c in (("Compose", Compose), ("Resize", Resize),
+                           ("CenterCrop", CenterCrop), ("ToTensor", ToTensor),
+                           ("Normalize", Normalize)):
+                setattr(tvt, _n, _c)
+            tvt.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic")
+            tv.transforms = tvt
+            return tv, tvt
+
+        _tv, _tvt = _make_torchvision_stub()
+        sys.modules["torchvision"] = _tv
+        sys.modules["torchvision.transforms"] = _tvt
 
 
 # xlrd is absent (and xlrd>=2 cannot read .xlsx anyway); reference DSPH/DMsH
