@@ -73,7 +73,10 @@ def main(argv=None):
     scio.savemat(os.path.join(args.save_dir, "index.mat"), {"index": index_list})
     caption_cells = np.empty((1, len(caption_list)), dtype=object)
     for i, caps in enumerate(caption_list):
-        caption_cells[0, i] = caps
+        # '<U' char matrix per cell (NOT object): loadmat then yields np.str_
+        # elements — the layout the reference builder produces and its
+        # tokenizer consumes (dataset/base.py:66)
+        caption_cells[0, i] = np.asarray([str(c) for c in caps])
     scio.savemat(os.path.join(args.save_dir, "caption.mat"), {"caption": caption_cells})
     scio.savemat(os.path.join(args.save_dir, "label.mat"),
                  {"category": np.stack(label_list)})

@@ -55,7 +55,8 @@ def main(argv=None):
     scio.savemat(os.path.join(args.save_dir, "index.mat"), {"index": index})
     caption_cells = np.empty((1, len(captions)), dtype=object)
     for i, caps in enumerate(captions):
-        caption_cells[0, i] = np.asarray(caps, dtype=object)
+        # '<U' char matrix per cell, the reference tokenizer-consumable layout
+        caption_cells[0, i] = np.asarray([str(c) for c in caps])
     scio.savemat(os.path.join(args.save_dir, "caption.mat"), {"caption": caption_cells})
     scio.savemat(os.path.join(args.save_dir, "label.mat"),
                  {"category": np.stack(labels)})
