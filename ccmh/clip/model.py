@@ -237,6 +237,7 @@ def transformer(
     attn_bias: Optional[jax.Array] = None,
     need_last_attn: bool = False,
     remat: bool = False,
+    unroll: int = 0,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Run all blocks via lax.scan over the stacked layer parameters.
 
@@ -245,7 +246,12 @@ def transformer(
     intermediates in HBM — ~1 extra forward of FLOPs for ~L x less
     activation memory.  Off by default (the plain towers fit comfortably);
     methods whose step carries large extra state (MITH's token pipeline at
-    B=256 overflows a 16 GB chip without it) enable it via ``cfg.remat``."""
+    B=256 overflows a 16 GB chip without it) enable it via ``cfg.remat``.
+
+    ``unroll``: lax.scan unroll factor; -1/0 or >= n_layers unrolls fully,
+    eliminating the while-loop and the dynamic_update_slice stacking of
+    per-layer activation saves under grad (profiled at ~11 ms/step of pure
+    HBM copies in the B=256 train step — tools/profile_step.py)."""
     if stacked["ln_1"]["scale"].dtype != x.dtype:
         # bf16 compute: cast weights once here; layer_norm still reduces in
         # fp32 internally (fp16-safe LayerNorm parity).
@@ -261,13 +267,15 @@ def transformer(
     def body(carry, layer_params):
         return block_fn(carry, layer_params), None
 
+    u = n_layers if (unroll in (-1, 0) or unroll >= n_layers) else unroll
+
     if not need_last_attn:
-        x, _ = jax.lax.scan(body, x, stacked)
+        x, _ = jax.lax.scan(body, x, stacked, unroll=u)
         return x, None
 
     if n_layers > 1:
         head_layers = jax.tree.map(lambda t: t[:-1], stacked)
-        x, _ = jax.lax.scan(body, x, head_layers)
+        x, _ = jax.lax.scan(body, x, head_layers, unroll=min(u, n_layers - 1))
     last = jax.tree.map(lambda t: t[-1], stacked)
     return _block(x, last, n_head, attn_bias, need_weights=True)
 
@@ -318,6 +326,7 @@ def vision_forward(
     dtype: jnp.dtype = jnp.float32,
     features: str = "pooled",
     remat: bool = False,
+    unroll: int = 0,
 ) -> VisionOutput:
     """ViT forward.  ``features``: "pooled" | "tokens" | "mith".
 
@@ -347,7 +356,7 @@ def vision_forward(
 
     need_attn = features == "mith"
     x, attn = transformer(x, p["blocks"], cfg.vision_heads, None,
-                          need_last_attn=need_attn, remat=remat)
+                          need_last_attn=need_attn, remat=remat, unroll=unroll)
 
     if features == "mith":
         h = layer_norm(x, p["ln_post"]["scale"], p["ln_post"]["bias"])
@@ -386,6 +395,7 @@ def text_forward(
     features: str = "pooled",
     key_padding_mask: Optional[jax.Array] = None,
     remat: bool = False,
+    unroll: int = 0,
 ) -> TextOutput:
     """Causal text transformer with EOT pooling.
 
@@ -407,7 +417,7 @@ def text_forward(
 
     need_attn = features == "mith"
     x, attn = transformer(x, p["blocks"], cfg.transformer_heads, bias,
-                          need_last_attn=need_attn, remat=remat)
+                          need_last_attn=need_attn, remat=remat, unroll=unroll)
 
     eos_pos = jnp.argmax(ids, axis=-1)                     # [B]
     h = layer_norm(x, p["ln_final"]["scale"], p["ln_final"]["bias"])

@@ -148,11 +148,14 @@ def clip_embeds(
     if dtype is None:
         dtype = resolve_compute_dtype(cfg)
     remat = bool(getattr(cfg, "remat", False))
+    unroll = int(getattr(cfg, "scan_unroll", 0))
     img = vision_forward(params["clip"]["visual"], clip_cfg, batch["image"],
-                         dtype=dtype, features=features, remat=remat)
+                         dtype=dtype, features=features, remat=remat,
+                         unroll=unroll)
     txt = text_forward(params["clip"]["text"], clip_cfg, batch["text"],
                        dtype=dtype, features=features, remat=remat,
-                       key_padding_mask=batch.get("key_padding_mask"))
+                       key_padding_mask=batch.get("key_padding_mask"),
+                       unroll=unroll)
     if dtype != jnp.float32:
         img, txt = _cast_floats_f32(img), _cast_floats_f32(txt)
     return img, txt

@@ -299,3 +299,20 @@ def test_device_prefetch_order_and_exhaustion():
     events.clear()
     assert [b["i"] for b in device_prefetch(batches, put, depth=1)] == list(range(5))
     assert events == [("put", i) for i in range(5)]
+
+
+def test_scan_unroll_identical(tmp_path):
+    """cfg.scan_unroll (full transformer-block unroll, the DUS-free
+    schedule) must not change training numerics: two steps with unroll=0
+    track the classic scan bit-for-bit (CPU, fp32)."""
+    import jax.numpy as jnp
+
+    results = []
+    for unroll in (1, 0):
+        t = make_trainer("DSPH", tmp_path / f"u{unroll}", epochs=1,
+                         valid=False, scan_unroll=unroll)
+        t.train_epoch(0)
+        results.append(t.state.params)
+    for a, b in zip(jax.tree.leaves(results[0]), jax.tree.leaves(results[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
