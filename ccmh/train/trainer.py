@@ -51,7 +51,9 @@ class Trainer:
         os.makedirs(cfg.save_dir, exist_ok=True)
         self.logger = get_logger(
             os.path.join(cfg.save_dir, "train.log" if cfg.is_train else "test.log"))
-        self.metrics = MetricsWriter(os.path.join(cfg.save_dir, "metrics.jsonl"))
+        self.metrics = MetricsWriter(
+            os.path.join(cfg.save_dir, "metrics.jsonl"),
+            tensorboard_dir=os.path.join(cfg.save_dir, "tensorboard"))
         self.method = get_method(cfg.method)
 
         self._init_data(splits)

@@ -1,9 +1,13 @@
 """Logging + metrics (reference parity: utils/logger.py:7-24).
 
 Console + file logger with the same format as the reference, plus a
-jsonl metrics writer (the reference creates a TensorBoard SummaryWriter but
-never writes scalars to it — utils/logger.py:21-24; we emit machine-readable
-jsonl instead and keep the log-line format for human parity).
+jsonl metrics writer and optional TensorBoard event files.  The reference
+creates a SummaryWriter but never writes a scalar to it
+(utils/logger.py:21-24, no add_scalar anywhere); ccmh keeps the literal
+surface (event files under <save_dir>/tensorboard) AND actually populates
+it: every jsonl metric record is mirrored as add_scalar calls when
+tensorboardX is importable (it is in the baked image; absent it, jsonl
+alone is written).
 """
 
 from __future__ import annotations
@@ -36,16 +40,36 @@ def get_logger(filename: Optional[str] = None, name: str = "ccmh") -> logging.Lo
 
 
 class MetricsWriter:
-    """Append-only jsonl metrics stream: one record per event."""
+    """Append-only jsonl metrics stream: one record per event.
 
-    def __init__(self, path: str):
+    ``tensorboard_dir``: also emit TensorBoard event files there (scalar
+    tag ``<event>/<metric>``) — the populated version of the reference's
+    writer-that-never-writes (utils/logger.py:21-24)."""
+
+    def __init__(self, path: str, tensorboard_dir: Optional[str] = None):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._fh = open(path, "a", buffering=1)
+        self._tb = None
+        if tensorboard_dir is not None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(tensorboard_dir)
+            except ImportError:
+                pass
 
     def write(self, event: str, step: int, **metrics: Any) -> None:
         rec: Dict[str, Any] = {"event": event, "step": step, "time": time.time()}
         rec.update({k: (float(v) if hasattr(v, "item") else v) for k, v in metrics.items()})
         self._fh.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k in ("event", "step", "time"):
+                    continue
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(f"{event}/{k}", v, global_step=step)
 
     def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
         self._fh.close()

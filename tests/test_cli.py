@@ -73,3 +73,22 @@ def test_cli_nuswide_caption_txt(tmp_path):
     assert trainer.global_step == 2
     assert trainer.cfg.nclass == 6          # auto-filled from labels, not table
     assert 0.0 <= trainer.max_mapi2t <= 1.0
+
+
+def test_tensorboard_events_written(tmp_path):
+    """MetricsWriter mirrors jsonl records into TensorBoard event files —
+    the populated version of the reference's never-written SummaryWriter
+    (utils/logger.py:21-24)."""
+    import os
+
+    from ccmh.utils import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path / "m.jsonl"),
+                      tensorboard_dir=str(tmp_path / "tb"))
+    w.write("train", 1, loss=2.5, lr=1e-3)
+    w.write("valid", 2, i2t=0.8)
+    w.close()
+    events = [f for f in os.listdir(tmp_path / "tb")
+              if f.startswith("events.out.tfevents")]
+    assert events, "no event files written"
+    assert os.path.getsize(tmp_path / "tb" / events[0]) > 0
