@@ -68,6 +68,10 @@ class MetricsWriter:
                     continue
                 if isinstance(v, (int, float)):
                     self._tb.add_scalar(f"{event}/{k}", v, global_step=step)
+            # flush per record: the Trainer holds the writer for the whole
+            # run (no close hook on crash) and metric volume is a few
+            # records per epoch — cheap, and events survive any exit
+            self._tb.flush()
 
     def close(self) -> None:
         if self._tb is not None:
