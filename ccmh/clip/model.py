@@ -169,7 +169,6 @@ def multi_head_attention(
     """
     B, L, D = x.shape
     head_dim = D // n_head
-    qkv_flat = x @ p["qkv_w"] + p["qkv_b"]                 # [B, L, 3D]
 
     if (
         ATTN_IMPL == "fused"
@@ -178,8 +177,14 @@ def multi_head_attention(
     ):
         from ccmh.ops.attention import fused_attention
 
-        ctx = fused_attention(qkv_flat, attn_bias, n_head)  # [B, L, D]
+        # feed the RAW x @ qkv_w product; the kernel folds qkv_b into its
+        # VMEM read, saving the [B, L, 3D] HBM round trip of a standalone
+        # bias add (pallas_call is an XLA fusion boundary).
+        ctx = fused_attention(x @ p["qkv_w"], attn_bias, n_head,
+                              qkv_b=p["qkv_b"])             # [B, L, D]
         return ctx @ p["out_w"] + p["out_b"], None
+
+    qkv_flat = x @ p["qkv_w"] + p["qkv_b"]                 # [B, L, 3D]
 
     qkv = qkv_flat.reshape(B, L, 3, n_head, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]     # [B, L, H, Dh]

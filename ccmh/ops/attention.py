@@ -58,9 +58,15 @@ def _pick_block_b(batch: int, target: int, L: int, D3: int, itemsize: int,
 
 
 def _kernel(qkv_ref, out_ref, *, n_head: int, head_dim: int, has_bias: bool,
-            bias_ref=None):
+            bias_ref=None, qkv_b_ref=None):
     D = n_head * head_dim
     qkv = qkv_ref[:]                                       # [BB, L, 3D]
+    if qkv_b_ref is not None:
+        # fold the qkv projection bias into the VMEM read: the caller feeds
+        # the RAW x @ qkv_w product, saving the [B, L, 3D] HBM round trip a
+        # standalone bias add would cost (pallas_call is an opaque fusion
+        # boundary, so XLA cannot fuse the add into this kernel's input).
+        qkv = qkv + qkv_b_ref[:].reshape(1, 1, 3 * D).astype(qkv.dtype)
     scale = 1.0 / math.sqrt(head_dim)
     bias = bias_ref[:].astype(jnp.float32) if has_bias else None
     for h in range(n_head):
@@ -81,7 +87,8 @@ def _kernel(qkv_ref, out_ref, *, n_head: int, head_dim: int, has_bias: bool,
         out_ref[:, :, sl] = ctx.astype(qkv.dtype)
 
 
-def _pallas_forward(qkv: jax.Array, bias: Optional[jax.Array], n_head: int,
+def _pallas_forward(qkv: jax.Array, bias: Optional[jax.Array],
+                    qkv_b: Optional[jax.Array], n_head: int,
                     block_b: int) -> jax.Array:
     B, L, D3 = qkv.shape
     D = D3 // 3
@@ -89,19 +96,26 @@ def _pallas_forward(qkv: jax.Array, bias: Optional[jax.Array], n_head: int,
     bb = _pick_block_b(B, block_b, L, D3, qkv.dtype.itemsize, backward=False)
     interpret = jax.default_backend() != "tpu"
 
-    kernel = functools.partial(
-        _kernel, n_head=n_head, head_dim=head_dim, has_bias=bias is not None)
     in_specs = [pl.BlockSpec((bb, L, D3), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [qkv]
     if bias is not None:
-        def kernel(qkv_ref, bias_ref, out_ref):  # noqa: F811 - bias arity
-            _kernel(qkv_ref, out_ref, n_head=n_head, head_dim=head_dim,
-                    has_bias=True, bias_ref=bias_ref)
-
         in_specs.append(pl.BlockSpec((L, L), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(bias.astype(jnp.float32))
+    if qkv_b is not None:
+        in_specs.append(pl.BlockSpec((D3,), lambda i: (0,),
+                                     memory_space=pltpu.VMEM))
+        args.append(qkv_b)
+
+    def kernel(*refs):
+        qkv_ref, rest = refs[0], list(refs[1:-1])
+        out_ref = refs[-1]
+        bias_ref = rest.pop(0) if bias is not None else None
+        qkv_b_ref = rest.pop(0) if qkv_b is not None else None
+        _kernel(qkv_ref, out_ref, n_head=n_head, head_dim=head_dim,
+                has_bias=bias is not None, bias_ref=bias_ref,
+                qkv_b_ref=qkv_b_ref)
 
     return pl.pallas_call(
         kernel,
@@ -115,12 +129,17 @@ def _pallas_forward(qkv: jax.Array, bias: Optional[jax.Array], n_head: int,
 
 
 def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_head: int, head_dim: int,
-                has_bias: bool, bias_ref=None):
+                has_bias: bool, bias_ref=None, qkv_b_ref=None):
     """Flash-style backward: recompute logits+softmax per head in VMEM,
     emit dq/dk/dv — no [B, H, L, L] HBM traffic and none of the
     latency-bound XLA relayouts of the naive vjp."""
     D = n_head * head_dim
     qkv = qkv_ref[:]                                       # [BB, L, 3D]
+    if qkv_b_ref is not None:
+        # recompute with the folded projection bias (matches the forward);
+        # d(raw qkv) == d(qkv + b), so dqkv_ref needs no adjustment and the
+        # bias cotangent is a cheap XLA reduction outside the kernel.
+        qkv = qkv + qkv_b_ref[:].reshape(1, 1, 3 * D).astype(qkv.dtype)
     g = g_ref[:]                                           # [BB, L, D]
     scale = 1.0 / math.sqrt(head_dim)
     bias = bias_ref[:].astype(jnp.float32) if has_bias else None
@@ -162,7 +181,8 @@ def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_head: int, head_dim: int,
         dqkv_ref[:, :, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim] = dv.astype(qkv.dtype)
 
 
-def _pallas_backward(qkv: jax.Array, bias: Optional[jax.Array], g: jax.Array,
+def _pallas_backward(qkv: jax.Array, bias: Optional[jax.Array],
+                     qkv_b: Optional[jax.Array], g: jax.Array,
                      n_head: int, block_b: int) -> jax.Array:
     B, L, D3 = qkv.shape
     D = D3 // 3
@@ -171,21 +191,28 @@ def _pallas_backward(qkv: jax.Array, bias: Optional[jax.Array], g: jax.Array,
     interpret = jax.default_backend() != "tpu"
     g = g.astype(qkv.dtype)
 
-    kernel = functools.partial(
-        _bwd_kernel, n_head=n_head, head_dim=head_dim, has_bias=bias is not None)
     in_specs = [
         pl.BlockSpec((bb, L, D3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((bb, L, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [qkv, g]
     if bias is not None:
-        def kernel(qkv_ref, g_ref, bias_ref, dqkv_ref):  # noqa: F811
-            _bwd_kernel(qkv_ref, g_ref, dqkv_ref, n_head=n_head,
-                        head_dim=head_dim, has_bias=True, bias_ref=bias_ref)
-
         in_specs.append(pl.BlockSpec((L, L), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(bias.astype(jnp.float32))
+    if qkv_b is not None:
+        in_specs.append(pl.BlockSpec((D3,), lambda i: (0,),
+                                     memory_space=pltpu.VMEM))
+        args.append(qkv_b)
+
+    def kernel(*refs):
+        qkv_ref, g_ref, rest = refs[0], refs[1], list(refs[2:-1])
+        dqkv_ref = refs[-1]
+        bias_ref = rest.pop(0) if bias is not None else None
+        qkv_b_ref = rest.pop(0) if qkv_b is not None else None
+        _bwd_kernel(qkv_ref, g_ref, dqkv_ref, n_head=n_head,
+                    head_dim=head_dim, has_bias=bias is not None,
+                    bias_ref=bias_ref, qkv_b_ref=qkv_b_ref)
 
     return pl.pallas_call(
         kernel,
@@ -217,23 +244,26 @@ def _xla_attention(qkv: jax.Array, bias: Optional[jax.Array], n_head: int) -> ja
     return ctx.transpose(0, 2, 1, 3).reshape(B, L, D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _fused_attention(qkv, bias, n_head, block_b):
-    return _pallas_forward(qkv, bias, n_head, block_b)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_attention(qkv, bias, qkv_b, n_head, block_b):
+    return _pallas_forward(qkv, bias, qkv_b, n_head, block_b)
 
 
-def _fwd(qkv, bias, n_head, block_b):
-    return _pallas_forward(qkv, bias, n_head, block_b), (qkv, bias)
+def _fwd(qkv, bias, qkv_b, n_head, block_b):
+    return _pallas_forward(qkv, bias, qkv_b, n_head, block_b), (qkv, bias, qkv_b)
 
 
 def _bwd(n_head, block_b, res, g):
-    qkv, bias = res
-    d_qkv = _pallas_backward(qkv, bias, g, n_head, block_b)
-    if bias is None:
-        return d_qkv, None
-    # bias enters through the public wrapper's stop_gradient, so no real
-    # tangent can reach this cotangent — the zero is exact, not fabricated.
-    return d_qkv, jnp.zeros_like(bias)
+    qkv, bias, qkv_b = res
+    d_qkv = _pallas_backward(qkv, bias, qkv_b, g, n_head, block_b)
+    # the folded projection bias enters as qkv + b, so its cotangent is the
+    # (B, L) reduction of d_qkv — one cheap XLA reduce, no extra kernel.
+    d_qkv_b = (None if qkv_b is None
+               else jnp.sum(d_qkv, axis=(0, 1)).astype(qkv_b.dtype))
+    # attention-mask bias enters through the public wrapper's stop_gradient,
+    # so no real tangent can reach this cotangent — the zero is exact.
+    d_bias = None if bias is None else jnp.zeros_like(bias)
+    return d_qkv, d_bias, d_qkv_b
 
 
 _fused_attention.defvjp(_fwd, _bwd)
@@ -247,6 +277,12 @@ def fused_attention(
                                      # v5e (bf16 ViT-B/32 encode): 16 ->
                                      # 11.9k pairs/s, 8 -> 11.5k, 32 ->
                                      # 0.47k (VMEM spill); keep 16.
+    qkv_b: Optional[jax.Array] = None,  # [3D] qkv projection bias, folded
+                                     # into the VMEM read (pass the RAW
+                                     # x @ qkv_w product as ``qkv`` then) —
+                                     # saves the [B, L, 3D] HBM round trip
+                                     # of a standalone bias add.  Fully
+                                     # differentiable (reduce-sum cotangent).
 ) -> jax.Array:                      # [B, L, D] heads concatenated
     """Fused multi-head attention (Pallas fwd + bwd kernels).
 
@@ -260,4 +296,4 @@ def fused_attention(
     """
     if bias is not None:
         bias = jax.lax.stop_gradient(bias)
-    return _fused_attention(qkv, bias, n_head, block_b)
+    return _fused_attention(qkv, bias, qkv_b, n_head, block_b)

@@ -43,6 +43,31 @@ def test_forward_parity_bf16():
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2)
 
 
+def test_folded_qkv_bias_parity_and_grads():
+    """qkv_b folded into the kernel == adding it before the call, for the
+    forward AND both cotangents (d_qkv and the reduce-sum d_qkv_b)."""
+    rng = np.random.RandomState(7)
+    B, L, D, H = 3, 18, 48, 4
+    qkv = jnp.asarray(rng.randn(B, L, 3 * D), jnp.float32)
+    b = jnp.asarray(rng.randn(3 * D), jnp.float32)
+    bias = causal_mask(L)
+
+    out = fused_attention(qkv, bias, H, qkv_b=b)
+    ref = _xla_attention(qkv + b, bias, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    def f_fold(a, bb):
+        return jnp.sum(jnp.tanh(fused_attention(a, bias, H, qkv_b=bb)))
+
+    def f_ref(a, bb):
+        return jnp.sum(jnp.tanh(_xla_attention(a + bb, bias, H)))
+
+    g1 = jax.grad(f_fold, argnums=(0, 1))(qkv, b)
+    g2 = jax.grad(f_ref, argnums=(0, 1))(qkv, b)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-5, rtol=1e-4)
+
+
 def test_grad_matches_xla():
     """custom_vjp backward == differentiating the XLA reference directly."""
     rng = np.random.RandomState(3)

@@ -206,7 +206,12 @@ def test_zoo_surface(tmp_path):
 @pytest.mark.slow
 def test_remat_is_numerically_transparent():
     """remat=True (jax.checkpoint over the scanned blocks) changes memory
-    behaviour only: forwards and parameter gradients are bit-identical."""
+    behaviour only: the forward value is bit-identical, and parameter
+    gradients agree to a couple of ULPs.  (Exact gradient equality is not
+    guaranteed: remat recomputes activations inside the *backward* XLA
+    program, where different fusion decisions can reorder fp32 reductions
+    in the activation^T @ cotangent weight-gradient products — measured
+    ~2e-7 on out_w/proj_w leaves.)"""
     import jax
     import jax.numpy as jnp
 
@@ -228,4 +233,5 @@ def test_remat_is_numerically_transparent():
     v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
     assert float(v0) == float(v1)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-6)
