@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="capture a jax.profiler trace of epoch 1")
     parser.add_argument("--mesh", type=str, default="1",
                         help="data-parallel mesh shape, e.g. '8'")
+    parser.add_argument("--shard-gallery", type=str, default="auto",
+                        choices=["auto", "true", "false"],
+                        help="mesh eval gallery placement: shard the gallery "
+                             "axis over the mesh (hist path; per-chip gallery "
+                             "memory / device count) instead of replicating; "
+                             "auto shards galleries >= 2^20 items")
     parser.add_argument("--clip-arch", type=str, default="vit-b-32",
                         choices=["vit-b-32", "tiny"],
                         help="architecture for random init when no --clip-path "
@@ -148,6 +154,8 @@ def config_from_args(argv=None) -> Config:
         checkpoint_every=args.checkpoint_every,
         resume=args.resume, profile=args.profile,
         mesh_shape=tuple(int(x) for x in args.mesh.split(",")),
+        shard_gallery={"auto": None, "true": True, "false": False}[
+            args.shard_gallery],
     )
     for override in args.set:
         key, _, raw = override.partition("=")

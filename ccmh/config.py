@@ -244,6 +244,12 @@ class Config:
     # classic scan (fastest compile).
     scan_unroll: int = 0
     mesh_shape: Tuple[int, ...] = (1,)    # data-parallel mesh ("data" axis)
+    # mesh eval gallery placement: None = auto (shard the gallery axis for
+    # hist-path galleries >= 2^20 items, replicate otherwise), True/False
+    # force.  Sharding divides per-chip gallery residency by the device
+    # count (SURVEY §2.6 sharded-gallery eval); exact-path ranking always
+    # replicates (its full-row sort cannot run sharded).
+    shard_gallery: Optional[bool] = None
     param_dtype: str = "float32"
     compute_dtype: str = "float32"        # "bfloat16" for production
     eval_batch: int = 512

@@ -19,6 +19,14 @@ A head-pair 2-D grid variant (128-lane blocks via index maps) benches
 the 1-D grid pipelines better between the surrounding matmuls, so it
 stays.
 
+Roofline (v5e, ViT-B/32 encode, B=256): each forward call must read the
+59 MB qkv block and write the 20 MB context -> ~96 us of mandatory HBM
+traffic at ~819 GB/s, vs ~133 us measured — the kernel runs at ~72% of
+its HBM roofline and attention is ~1% of the tower FLOPs, so further
+micro-optimization of this kernel is bounded at ~0.8 ms/iter (~3% of
+encode).  See ROADMAP "whole-block megakernel" for the measured
+speed-of-light argument for the full encode path.
+
 On non-TPU backends (the CPU test mesh) the kernel runs in interpreter
 mode automatically.
 """

@@ -123,6 +123,7 @@ def _map_chunk_hist(
     r_labels: jax.Array,    # [N, L]
     n_bins: int,
     dist_fn=None,
+    r_valid: Optional[jax.Array] = None,  # [N] bool; False rows are padding
 ) -> jax.Array:
     """Sort-free mAP@all: per-distance histograms + the closed-form expected
     AP over random tie permutations (McSherry & Najork, ECIR'08).
@@ -141,6 +142,13 @@ def _map_chunk_hist(
     has the same noise, utils/calc_utils.py:31).
     """
     dist = (dist_fn or hamming_distance)(q_codes, r_codes)        # [C, N]
+    if r_valid is not None:
+        # padded gallery rows (gallery sharding pads N to a device-count
+        # multiple) get the sentinel distance n_bins: it matches no bin, so
+        # a padded item enters no histogram — exactly as if it didn't exist
+        # (its labels are zero, so tsum is untouched either way)
+        dist = jnp.where(r_valid[None, :], dist,
+                         jnp.asarray(n_bins, dist.dtype))
     gnd = _gnd_matrix(q_labels, r_labels).astype(jnp.float32)
 
     # per-bin counts via lax.scan over GROUPS of 8 bins: the scan bounds live
@@ -190,6 +198,7 @@ def calc_map(
     mesh=None,
     mesh_axis: str = "data",
     pack_labels: Optional[bool] = None,
+    shard_gallery: Optional[bool] = None,
 ) -> jax.Array:
     """mAP@k of Hamming ranking (k=None -> mAP@all).
 
@@ -218,6 +227,19 @@ def calc_map(
     padded to a device-count multiple.  Replaces the reference's CPU
     python loop over queries AND scales it across the mesh.
 
+    ``shard_gallery``: shard the GALLERY axis over the mesh instead of the
+    query axis (queries replicated).  Per-chip gallery residency (codes +
+    labels + the [chunk, N] distance/relevance working set) drops by the
+    device count — the scaling mode for million-item galleries (SURVEY
+    §2.6 "sharded gallery eval").  Hist path only: its per-bin counts are
+    reductions over the gallery axis, so XLA turns the shardings into one
+    psum per chunk; the exact path's full-row sort would force an
+    all-gather of the distance matrix, defeating the sharding (explicitly
+    rejected).  The gallery is zero-padded to a device-count multiple;
+    padded rows carry a validity mask and rank strictly last (sentinel
+    distance), leaving every AP unchanged.  Default (None): auto-enables
+    for hist-path galleries of >= 2^20 items on multi-device meshes.
+
     ``pack_labels``: bit-pack multi-hot labels into uint32 lanes and compute
     relevance via AND+lane-OR instead of the fp32 matmul — 32x smaller
     (replicated) gallery labels, identical gnd.  Default (None) packs
@@ -228,13 +250,30 @@ def calc_map(
 
     use_hist = (method == "hist") or (method == "auto" and k is None)
     num_query = q_codes.shape[0]
+    num_gallery = int(r_codes.shape[0])
+    ndev = int(mesh.devices.size) if mesh is not None else 1
+    if shard_gallery is None:
+        shard_gallery = (
+            mesh is not None and use_hist and ndev > 1
+            and num_gallery >= 1 << 20)
+    if shard_gallery:
+        if mesh is None:
+            raise ValueError("shard_gallery requires a mesh")
+        if not use_hist:
+            raise ValueError(
+                "shard_gallery supports the hist path only: the exact "
+                "path's full-row stable sort would all-gather the sharded "
+                "distance matrix (use the default query sharding for exact)")
     if chunk is None:
         # size the [chunk, N] working set from the device's memory budget:
         # big enough that a COCO-sized eval (5k x 117k) is ONE dispatch —
         # each extra dispatch costs a full host round trip, which dominated
-        # exact-eval latency when this used to split COCO into 3 chunks
+        # exact-eval latency when this used to split COCO into 3 chunks.
+        # With the gallery sharded, the per-chip row length is N/ndev, so
+        # the same budget admits ndev-times-larger chunks.
+        per_chip_n = -(-num_gallery // ndev) if shard_gallery else num_gallery
         chunk = max(256, min(num_query,
-                             _chunk_budget_elems() // max(r_codes.shape[0], 1)))
+                             _chunk_budget_elems() // max(per_chip_n, 1)))
 
     if pack_labels is None:
         pack_labels = (
@@ -251,21 +290,38 @@ def calc_map(
     if n_bins is None:
         n_bins = q_codes_h.shape[1] + 1
 
-    q_shard = r_repl = None
+    q_shard = gal_shard = None
+    r_valid = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        ndev = mesh.devices.size
-        chunk = -(-chunk // ndev) * ndev
-        q_shard = NamedSharding(mesh, P(mesh_axis))
-        r_repl = NamedSharding(mesh, P())
+        repl = NamedSharding(mesh, P())
+        if shard_gallery:
+            # queries replicated, gallery rows sharded; pad the gallery to
+            # a device-count multiple (padded rows: zero codes/labels + a
+            # False validity bit -> sentinel distance in _map_chunk_hist)
+            q_shard = repl
+            gal_shard = NamedSharding(mesh, P(mesh_axis))
+        else:
+            chunk = -(-chunk // ndev) * ndev
+            q_shard = NamedSharding(mesh, P(mesh_axis))
+            gal_shard = repl
 
     r_codes = jnp.asarray(r_codes)
     if not pack_labels:
         r_labels = jnp.asarray(r_labels, dtype=jnp.float32)
-    if r_repl is not None:
-        r_codes = jax.device_put(r_codes, r_repl)
-        r_labels = jax.device_put(r_labels, r_repl)
+    if shard_gallery:
+        pad_n = (-num_gallery) % ndev
+        if pad_n:
+            r_codes = jnp.concatenate(
+                [r_codes, jnp.zeros((pad_n,) + r_codes.shape[1:], r_codes.dtype)])
+            r_labels = jnp.concatenate(
+                [r_labels, jnp.zeros((pad_n, r_labels.shape[1]), r_labels.dtype)])
+        r_valid = jnp.arange(num_gallery + pad_n) < num_gallery
+        r_valid = jax.device_put(r_valid, gal_shard)
+    if gal_shard is not None:
+        r_codes = jax.device_put(r_codes, gal_shard)
+        r_labels = jax.device_put(r_labels, gal_shard)
 
     total = jnp.zeros((), jnp.float32)
     for start in range(0, num_query, chunk):
@@ -282,7 +338,8 @@ def calc_map(
             qc = jax.device_put(qc, q_shard)
             ql = jax.device_put(ql, q_shard)
         if use_hist:
-            total = total + _map_chunk_hist(qc, r_codes, ql, r_labels, n_bins, dist_fn)
+            total = total + _map_chunk_hist(
+                qc, r_codes, ql, r_labels, n_bins, dist_fn, r_valid)
         else:
             total = total + _map_chunk(qc, r_codes, ql, r_labels, k, dist_fn)
     return total / num_query
@@ -299,11 +356,13 @@ def calc_map_4way(
     n_bins: Optional[int] = None,
     mesh=None,
     pack_labels: Optional[bool] = None,
+    shard_gallery: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """(i2t, t2i, i2i, t2t) mAP — the reference's validation quartet
     (train/base.py:259-262)."""
     kw = dict(k=k, chunk=chunk, method=method, dist_fn=dist_fn,
-              n_bins=n_bins, mesh=mesh, pack_labels=pack_labels)
+              n_bins=n_bins, mesh=mesh, pack_labels=pack_labels,
+              shard_gallery=shard_gallery)
     i2t = calc_map(query_img, retrieval_txt, q_labels, r_labels, **kw)
     t2i = calc_map(query_txt, retrieval_img, q_labels, r_labels, **kw)
     i2i = calc_map(query_img, retrieval_img, q_labels, r_labels, **kw)

@@ -313,7 +313,9 @@ class Trainer:
         # fast sweep with the sort-free expected-tie estimator; ranking is
         # sharded over the mesh when one is configured
         kw = dict(dist_fn=self.eval_dist_fn, n_bins=self.cfg.output_dim + 1,
-                  mesh=self.mesh)
+                  mesh=self.mesh,
+                  shard_gallery=(self.cfg.shard_gallery
+                                 if self.mesh is not None else None))
         i2t, t2i, i2i, t2t = map(float, calc_map_4way(
             q_img, q_txt, r_img, r_txt, self.query_labels, self.retrieval_labels,
             **kw))
@@ -323,12 +325,17 @@ class Trainer:
         # epoch's codes get snapshotted (utils/calc_utils.py:31 semantics)
         from ccmh.ops.map_metric import calc_map
 
+        # exact ranking always replicates the gallery (its full-row sort
+        # cannot run gallery-sharded), whatever cfg.shard_gallery says
+        kw_exact = {**kw, "shard_gallery": False}
         if i2t > self.max_mapi2t - self.EXACT_MARGIN:
             i2t = float(calc_map(q_img, r_txt, self.query_labels,
-                                 self.retrieval_labels, method="exact", **kw))
+                                 self.retrieval_labels, method="exact",
+                                 **kw_exact))
         if t2i > self.max_mapt2i - self.EXACT_MARGIN:
             t2i = float(calc_map(q_txt, r_img, self.query_labels,
-                                 self.retrieval_labels, method="exact", **kw))
+                                 self.retrieval_labels, method="exact",
+                                 **kw_exact))
 
         if self.max_mapi2t < i2t:
             self.best_epoch_i = epoch
@@ -391,7 +398,9 @@ class Trainer:
         for name in q:
             i2t, t2i, i2i, t2t = map(float, calc_map_4way(
                 q[name][0], q[name][1], r[name][0], r[name][1],
-                self.query_labels, self.retrieval_labels, mesh=self.mesh))
+                self.query_labels, self.retrieval_labels, mesh=self.mesh,
+                shard_gallery=(self.cfg.shard_gallery
+                               if self.mesh is not None else None)))
             best = self.max_multi.setdefault(name, {"i2t": 0.0, "t2i": 0.0})
             best["i2t"] = max(best["i2t"], i2t)
             best["t2i"] = max(best["t2i"], t2i)

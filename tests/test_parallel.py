@@ -326,3 +326,62 @@ def test_dp_all_methods(mesh, method):
     if s1.extra is not None:
         for a, b in zip(jax.tree.leaves(s1.extra), jax.tree.leaves(s2.extra)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_shard_gallery_hist_parity(mesh):
+    """Gallery-axis sharding (SURVEY §2.6 sharded-gallery eval): hist mAP
+    with the gallery sharded over 8 devices == replicated-mesh == single
+    device, including a gallery size NOT divisible by 8 (padding rows rank
+    strictly last via the sentinel distance) and both label layouts."""
+    rng = np.random.RandomState(11)
+    qB = (rng.randint(0, 2, (37, 16)) * 2 - 1).astype(np.int8)
+    rB = (rng.randint(0, 2, (203, 16)) * 2 - 1).astype(np.int8)   # 203 % 8 != 0
+    qL = (rng.rand(37, 8) < 0.25).astype(np.float32)
+    rL = (rng.rand(203, 8) < 0.25).astype(np.float32)
+    single = float(calc_map(qB, rB, qL, rL, method="hist"))
+    for pack in (False, True):
+        sharded = float(calc_map(qB, rB, qL, rL, method="hist", mesh=mesh,
+                                 shard_gallery=True, pack_labels=pack))
+        assert abs(single - sharded) < 1e-5, (pack, single, sharded)
+    # the default query sharding still agrees
+    qsharded = float(calc_map(qB, rB, qL, rL, method="hist", mesh=mesh,
+                              shard_gallery=False))
+    assert abs(single - qsharded) < 1e-5
+
+
+def test_shard_gallery_sharding_is_real(mesh):
+    """The gallery arrays really live sharded: each device holds 1/8 of the
+    padded gallery rows, not a replica."""
+    rng = np.random.RandomState(12)
+    rB = (rng.randint(0, 2, (203, 16)) * 2 - 1).astype(np.int8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    gal = jax.device_put(jnp.asarray(rB[:200]), NamedSharding(mesh, P("data")))
+    shard_rows = {s.data.shape[0] for s in gal.addressable_shards}
+    assert shard_rows == {200 // N_DEV}
+
+
+def test_shard_gallery_exact_rejected(mesh):
+    """The exact path's full-row sort cannot run gallery-sharded without an
+    all-gather; requesting it is a loud error, not a silent fallback."""
+    rng = np.random.RandomState(13)
+    qB = (rng.randint(0, 2, (8, 16)) * 2 - 1).astype(np.int8)
+    qL = (rng.rand(8, 8) < 0.25).astype(np.float32)
+    with pytest.raises(ValueError, match="hist path only"):
+        calc_map(qB, qB, qL, qL, method="exact", mesh=mesh, shard_gallery=True)
+
+
+def test_trainer_valid_shard_gallery(tmp_path):
+    """cfg.shard_gallery=True flows through Trainer.valid: the hist fast
+    sweep runs gallery-sharded (queries replicated) and the exact
+    best-epoch confirmation silently falls back to the replicated gallery
+    (its sort cannot run sharded) — same mAPs as a single-device run."""
+    from tests.test_train_e2e import make_trainer
+
+    t1 = make_trainer("DSPH", tmp_path / "single")
+    t8 = make_trainer("DSPH", tmp_path / "mesh", mesh_shape=(8,),
+                      shard_gallery=True)
+    assert t8.cfg.shard_gallery is True
+    m1 = t1.valid(0)
+    m8 = t8.valid(0)
+    np.testing.assert_allclose(m8, m1, atol=1e-5)
