@@ -353,3 +353,67 @@ def test_whole_loop_twdh(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
                   (f"r_short{short}_img", pick(rr_si, short), cr[f"short{short}"][0]),
                   (f"r_short{short}_txt", pick(rr_st, short), cr[f"short{short}"][1])]
     assert_codes_agree(pairs, "TwDH")
+
+
+# ---------------------------------------------------------------------- DPBE
+def test_whole_loop_dpbe(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
+                         data_dir):
+    """3 full epochs of the REAL DPBETrainer loop — posterior-sampled heads,
+    per-step Hessian EMA, its OWN get_code (use_lam: mean of sampled
+    normalized codes then sign, train/DPBE/hash_train.py:195-242) — vs the
+    ccmh Trainer.  The stateful-Bayesian family the other three whole-loop
+    tests don't cover.
+
+    Pins (as in test_dpbe_trajectory): posterior sampling = mu exactly on
+    both sides (torch laplace.sample and ccmh sample_head), train_n_samples
+    = 1 so the reference's loss-overwrite-then-divide quirk is the mean,
+    and the double-hashing bug is repaired (model.forward -> encoding)."""
+    import model.modelbase as modelbase
+
+    if not hasattr(modelbase, "Pre_Layer"):  # model/DPBE.py:5 upstream bug
+        modelbase.Pre_Layer = importlib.import_module(
+            "model.DNPH_TOMM").Pre_Layer
+    stochman_root = f"{REFERENCE_ROOT}/train/DPBE/stochman"
+    if stochman_root not in sys.path:
+        sys.path.insert(0, stochman_root)
+
+    args = make_loop_args("DPBE", "DPBE", tiny_clip_pt, data_dir,
+                          tmp_path / "ref", numclass=NCLASS,
+                          train_n_samples=1, valid_n_samples=1)
+    t, _ = build_ref_full("DPBE", "DPBETrainer", args)
+
+    t.model.forward = t.model.encoding
+    monkeypatch.setattr(
+        t.laplace, "sample",
+        lambda parameters, posterior_scale, n_samples=100:
+            parameters.view(1, -1).repeat(int(n_samples), 1))
+
+    import ccmh.losses.dpbe as dpbe_mod
+
+    monkeypatch.setattr(dpbe_mod, "sample_head", lambda rng, mu, sigma: mu)
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+
+    def conv_l2norm_head(mod):
+        sd = {k: v for k, v in mod.state_dict().items()}
+        (wk,) = [k for k in sd if k.endswith("weight")]
+        (bk,) = [k for k in sd if k.endswith("bias")]
+        return {"w": jnp.asarray(tnp(sd[wk]).T), "b": jnp.asarray(tnp(sd[bk]))}
+
+    heads = {"img_head": conv_l2norm_head(t.model.image_hash),
+             "txt_head": conv_l2norm_head(t.model.text_hash)}
+
+    trainer = build_ccmh_trainer("DPBE", data_dir, tmp_path, clip_params,
+                                 monkeypatch)
+    trainer.cfg.dpbe.n_samples = 1
+    assert trainer.cfg.dpbe.hessian_ema == args.hessian_memory_factor
+    # both sides init the Hessians to train_num * ones (stochman laplace
+    # init_hessian vs methods/dpbe._init) — no aux override needed
+    override_params(trainer, heads)
+
+    t.train()
+    trainer.train()
+
+    assert_loops_agree(t, trainer, "DPBE")
