@@ -385,3 +385,30 @@ def test_trainer_valid_shard_gallery(tmp_path):
     m1 = t1.valid(0)
     m8 = t8.valid(0)
     np.testing.assert_allclose(m8, m1, atol=1e-5)
+
+
+def test_shard_gallery_no_allgather(mesh):
+    """The gallery-sharded hist path must compile to small per-bin [C]
+    all-reduces, NOT an all-gather of the [C, N] distance matrix (which
+    would defeat the sharding's memory purpose)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ccmh.ops.map_metric import _map_chunk_hist
+
+    rng = np.random.RandomState(5)
+    C, N, K, L = 64, 1600, 16, 8
+    repl, gal = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+    q = jax.device_put(jnp.asarray(
+        (rng.randint(0, 2, (C, K)) * 2 - 1).astype(np.int8)), repl)
+    r = jax.device_put(jnp.asarray(
+        (rng.randint(0, 2, (N, K)) * 2 - 1).astype(np.int8)), gal)
+    ql = jax.device_put(jnp.asarray(
+        (rng.rand(C, L) < 0.3).astype(np.float32)), repl)
+    rl = jax.device_put(jnp.asarray(
+        (rng.rand(N, L) < 0.3).astype(np.float32)), gal)
+    rv = jax.device_put(jnp.arange(N) < N, gal)
+
+    hlo = (jax.jit(lambda *a: _map_chunk_hist(*a, K + 1, None, rv))
+           .lower(q, r, ql, rl).compile().as_text())
+    assert "all-gather" not in hlo
+    assert "all-reduce" in hlo
