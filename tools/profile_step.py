@@ -65,7 +65,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/dsph_profile")
     ap.add_argument("--method", default="DSPH")
-    ap.add_argument("--unroll", type=int, default=1)
+    ap.add_argument("--unroll", type=int, default=0,
+                    help="scan_unroll (0 = full unroll, the production "
+                         "default; 1 = classic scan, faster compile)")
     ap.add_argument("--quick", action="store_true",
                     help="full-step timing only (skip components + trace)")
     args = ap.parse_args()
@@ -116,32 +118,40 @@ def main():
     # a closure-captured param tree becomes 150M of HLO *constants* and the
     # compile blows up past 30 minutes on the relay.
 
-    # ---- forward only (loss eval; chain rng so iterations serialize)
+    # ---- forward only.  Chaining rng alone is NOT enough: most losses
+    # ignore it, the whole body becomes loop-invariant and XLA hoists it
+    # (this printed a nonsense ~0 ms).  Feed the loss back into the image
+    # so every iteration depends on the previous one (bench.py's trick;
+    # costs one [B, H, W, 3] add ≈ 0.2 ms, small vs the ~25 ms forward).
     def fwd(c):
-        p, rng, acc = c
+        p, img, rng, acc = c
         rng2, srng = jax.random.split(rng)
-        loss, _ = loss_fn(p, state.extra, state.aux, batch, srng)
-        return (p, rng2, acc + loss)
+        loss, _ = loss_fn(p, state.extra, state.aux,
+                          {**batch, "image": img}, srng)
+        return (p, img + (loss * 1e-24).astype(img.dtype), rng2, acc + loss)
 
-    t_fwd = timed_loop(fwd, (state.params, state.rng, jnp.float32(0)))
+    t_fwd = timed_loop(fwd, (state.params, batch["image"], state.rng,
+                             jnp.float32(0)))
     log(f"loss forward: {t_fwd * 1e3:.1f} ms")
 
     # ---- forward + backward (no optimizer)
     def vg(c):
-        p0, rng, acc = c
+        p0, img, rng, acc = c
         rng2, srng = jax.random.split(rng)
 
         def wrapped(p, e):
-            return loss_fn(p, e, state.aux, batch, srng)
+            return loss_fn(p, e, state.aux, {**batch, "image": img}, srng)
 
         (loss, _), grads = jax.value_and_grad(
             wrapped, argnums=(0, 1) if state.extra is not None else 0,
             has_aux=True)(p0, state.extra)
         g = grads[0] if isinstance(grads, tuple) else grads
         gs = sum(jnp.sum(jnp.abs(x)) * 1e-20 for x in jax.tree.leaves(g))
-        return (p0, rng2, acc + loss + gs)
+        return (p0, img + (loss * 1e-24).astype(img.dtype), rng2,
+                acc + loss + gs)
 
-    t_vg = timed_loop(vg, (state.params, state.rng, jnp.float32(0)))
+    t_vg = timed_loop(vg, (state.params, batch["image"], state.rng,
+                           jnp.float32(0)))
     log(f"forward+backward: {t_vg * 1e3:.1f} ms (backward ~ {1e3 * (t_vg - t_fwd):.1f} ms)")
 
     # ---- optimizer only: chain BertAdam updates on fixed grads
@@ -169,7 +179,9 @@ def main():
         f"{unattributed * 1e3:.1f} = {t_full * 1e3:.1f} ms")
 
     # ---- analytic floors (v5e: 197 TFLOP/s bf16, 819 GB/s HBM)
-    gflops_fwd = 2 * 88.4e9 * B / 1e9  # ~88.4 GFLOP/pair fwd (towers+heads)
+    # ~15.6 bf16 GFLOP per image+text pair forward (ViT-B/32 + text tower
+    # + heads; the BENCH.md encode-MFU methodology), bwd ~ 2x fwd
+    gflops_fwd = 15.6 * B
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
     opt_bytes = n_params * 4 * 7       # read p,g,m,v + write p,m,v (fp32)
     log(f"floors: fwd matmul ~{1e3 * gflops_fwd / 197e3:.1f} ms, "
@@ -195,26 +207,18 @@ def main():
 
 
 def aggregate_trace(out_dir):
-    """Aggregate the xplane trace to per-op-category device times."""
-    import glob
-    import gzip
-    import json as _json
+    """Aggregate the xplane trace to per-op-category device times (same
+    working path as tools/profile_encode.py: xprof + pure-python protobuf;
+    tensorboard_plugin_profile 2.13 is broken against the installed TF)."""
+    import importlib.util
+    import os
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-
-    paths = glob.glob(f"{out_dir}/**/*.xplane.pb", recursive=True)
-    assert paths, "no xplane.pb found"
-    data, _ = rtd.xspace_to_tool_data(paths, "framework_op_stats^", {})
-    if isinstance(data, bytes):
-        try:
-            data = gzip.decompress(data)
-        except OSError:
-            pass
-        data = data.decode()
-    table = _json.loads(data)
-    log("top ops by self time:")
-    rows = table[0]["p"] if isinstance(table, list) else table
-    log(str(rows)[:2000])
+    spec = importlib.util.spec_from_file_location(
+        "profile_encode", os.path.join(os.path.dirname(__file__),
+                                       "profile_encode.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.aggregate(out_dir)
 
 
 if __name__ == "__main__":
