@@ -272,7 +272,10 @@ def transformer(
     def body(carry, layer_params):
         return block_fn(carry, layer_params), None
 
-    u = n_layers if (unroll in (-1, 0) or unroll >= n_layers) else unroll
+    # any value <= 0 means "full" (0 is the documented default, -1 the
+    # legacy spelling); clamping here keeps --set scan_unroll=-2 from
+    # reaching lax.scan as a nonsense unroll factor
+    u = n_layers if (unroll <= 0 or unroll >= n_layers) else unroll
 
     if not need_last_attn:
         x, _ = jax.lax.scan(body, x, stacked, unroll=u)

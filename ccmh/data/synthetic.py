@@ -89,3 +89,33 @@ def write_synthetic_mat_dataset(
     scio.savemat(os.path.join(out_dir, "caption.mat"), {"caption": caption_cells})
     scio.savemat(os.path.join(out_dir, "label.mat"), {"category": raw.labels})
     return out_dir
+
+
+def write_synthetic_twdh_assets(
+    path: Optional[str] = None,
+    n_class: int = 8,
+    long_bits: int = 16,
+    short_bits: int = 8,
+    seed: int = 0,
+) -> str:
+    """Synthetic TwDH center/trans npz (one long length, one short length,
+    ccmh.losses.twdh.load_twdh_assets layout) — the substrate for tests and
+    the multichip dry run, which have no real center assets at tiny shapes.
+    Stands in for the reference's train/TwDH/center/<dataset>/ pkl tree."""
+    if path is None:
+        import tempfile
+
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"ccmh_twdh_{n_class}_{long_bits}_{short_bits}_{seed}.npz")
+    if not os.path.exists(path):
+        r = np.random.RandomState(seed)
+        np.savez(path, **{
+            f"long/{long_bits}":
+                (r.randint(0, 2, (n_class, long_bits)) * 2 - 1).astype(np.float32),
+            f"short/{short_bits}":
+                (r.randint(0, 2, (n_class, short_bits)) * 2 - 1).astype(np.float32),
+            f"trans/{long_bits}/{short_bits}":
+                r.randn(2 * long_bits, long_bits).astype(np.float32),
+        })
+    return path

@@ -152,11 +152,19 @@ def init_bn_state(in_dim: int) -> Params:
 def modality_hash(
     p: Params, x: jax.Array, *, train: bool = False,
     bn_state: Optional[Params] = None, momentum: float = 0.1,
+    mask: Optional[jax.Array] = None,
 ):
     """[B, D] -> ([B, 2K] softmax-pair code, new_bn_state).
 
     Returns the flattened softmax-pair representation (model/TwDH.py:9-21
     softmax_hash with return_vector=True).
+
+    ``mask`` ([B] bool): restrict the train-mode BatchNorm statistics to
+    the flagged rows.  Eval loaders wrap-pad the final partial batch to a
+    fixed compile shape (data/dataset.py), but the reference's DataLoader
+    yields a smaller ragged batch there — without the mask, TwDH's
+    batch-statistics eval (see train/methods/twdh.py) would normalize
+    real items with statistics polluted by the duplicated pad rows.
     """
     h = x @ p["v_w"] + p["v_b"]
     h = h @ p["out_w"] + p["out_b"]
@@ -165,11 +173,17 @@ def modality_hash(
         h = layer_norm(h, p["ln"]["scale"], p["ln"]["bias"])
     else:
         if train:
-            mean = jnp.mean(h, axis=0)
-            var = jnp.var(h, axis=0)
+            if mask is not None:
+                m = mask.astype(h.dtype)[:, None]                # [B, 1]
+                n = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(h * m, axis=0) / n
+                var = jnp.sum(m * (h - mean) ** 2, axis=0) / n
+            else:
+                n = float(h.shape[0])
+                mean = jnp.mean(h, axis=0)
+                var = jnp.var(h, axis=0)
             if bn_state is not None:
-                n = h.shape[0]
-                unbiased = var * n / max(n - 1, 1)
+                unbiased = var * n / jnp.maximum(n - 1, 1)
                 new_state = {
                     "mean": (1 - momentum) * bn_state["mean"] + momentum * mean,
                     "var": (1 - momentum) * bn_state["var"] + momentum * unbiased,

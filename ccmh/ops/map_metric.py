@@ -282,9 +282,19 @@ def calc_map(
     q_codes_h = onp.asarray(q_codes)
     if pack_labels:
         # one uint32 lane per 32 classes; chunk padding below pads packed
-        # rows with zero lanes (no labels -> tsum 0 -> AP 0, as for fp32)
-        q_labels_h = onp.asarray(pack_codes(jnp.asarray(q_labels)))
-        r_labels = pack_codes(jnp.asarray(r_labels))
+        # rows with zero lanes (no labels -> tsum 0 -> AP 0, as for fp32).
+        # Host-resident labels pack with numpy BEFORE any device_put —
+        # shipping 1M x 291 fp32 first (~1.1 GB put + HBM bit-tensor spike)
+        # is exactly what packing exists to avoid; device-resident labels
+        # pack on-device (pulling them to host would cost the same 1.1 GB
+        # the other way).
+        from ccmh.ops.packing import pack_codes_np
+
+        q_labels_h = (onp.asarray(pack_codes(q_labels))
+                      if isinstance(q_labels, jax.Array)
+                      else pack_codes_np(q_labels))
+        r_labels = (pack_codes(r_labels) if isinstance(r_labels, jax.Array)
+                    else jnp.asarray(pack_codes_np(r_labels)))
     else:
         q_labels_h = onp.asarray(q_labels, dtype=onp.float32)
     if n_bins is None:

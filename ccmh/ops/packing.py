@@ -40,6 +40,24 @@ def pack_codes(codes: jax.Array) -> jax.Array:
     return jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)
 
 
+def pack_codes_np(codes) -> "jnp.ndarray":
+    """Host-side numpy mirror of pack_codes (bit-identical output).
+
+    For host-resident matrices (e.g. the 1M x 291 fp32 gallery labels mAP
+    eval packs), packing BEFORE any device_put transfers only the 32x
+    smaller packed form — on-device packing would first ship the full fp32
+    matrix (~1.1 GB) and materialize a larger uint32 bit tensor in HBM,
+    exactly the cost pack_labels exists to avoid."""
+    import numpy as np
+
+    n, k = codes.shape
+    w = -(-k // 32)
+    bits = (np.asarray(codes) > 0).astype(np.uint32)
+    bits = np.pad(bits, ((0, 0), (0, w * 32 - k)))
+    shifts = np.arange(32, dtype=np.uint32)
+    return (bits.reshape(n, w, 32) << shifts).sum(axis=-1, dtype=np.uint32)
+
+
 def unpack_codes(packed: jax.Array, k: int) -> jax.Array:
     """[N, W] uint32 -> [N, K] ±1 int8 (inverse of pack_codes)."""
     n, w = packed.shape

@@ -39,10 +39,11 @@ def _init(rng, cfg: Config, clip_cfg: ClipConfig):
     return heads, None, aux
 
 
-def _forward(params, aux, batch, clip_cfg, cfg, train=False):
+def _forward(params, aux, batch, clip_cfg, cfg, train=False, mask=None):
     img, txt = clip_embeds(params, clip_cfg, batch, cfg)
     img_long, new_bn = modality_hash(params["img_head"], img.pooled,
-                                     train=train, bn_state=aux["bn"])
+                                     train=train, bn_state=aux["bn"],
+                                     mask=mask)
     txt_long, _ = modality_hash(params["txt_head"], txt.pooled, train=train)
     assets = aux["assets"]
     img_short = {k: softmax_pair_quantize(img_long @ t) for k, t in assets["trans"].items()}
@@ -72,15 +73,20 @@ def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
 # the composed reference loop's codes; running-stats encode diverges ~38%
 # on the image side).
 def _encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig):
+    # 'valid' masks wrap-padded eval rows out of the BN batch statistics:
+    # the reference computes them over a smaller RAGGED final batch, so
+    # duplicated pad rows must not pollute the real items' normalization
     img_long, txt_long, _, _, _ = _forward(params, aux, batch, clip_cfg, cfg,
-                                           train=True)
+                                           train=True,
+                                           mask=batch.get("valid"))
     return pair_code(img_long), pair_code(txt_long)
 
 
 def _multi_encode(params, aux, batch, cfg: Config, clip_cfg: ClipConfig) -> Dict:
     """Long + every short code length (train/TwDH/hash_train.py:179-217)."""
     img_long, txt_long, img_short, txt_short, _ = _forward(
-        params, aux, batch, clip_cfg, cfg, train=True)
+        params, aux, batch, clip_cfg, cfg, train=True,
+        mask=batch.get("valid"))
     out = {"long": (pair_code(img_long), pair_code(txt_long))}
     for k in img_short:
         out[f"short{k}"] = (pair_code(img_short[k]), pair_code(txt_short[k]))

@@ -287,17 +287,16 @@ class Trainer:
         return img_buf, txt_buf, encoder_time
 
     def _put_eval(self, batch):
-        """(device batch without 'valid', host batch) — the host dict keeps
-        the index/valid arrays the scatter needs after encoding."""
+        """(device batch, host batch) — the host dict keeps the index/valid
+        arrays the scatter needs after encoding.  'valid' ALSO travels to
+        the device: wrap-padded final batches must not pollute
+        batch-statistics encodes (TwDH's BN, train/methods/twdh.py)."""
         if self.mesh is not None:
             from ccmh.parallel.mesh import shard_batch
 
-            jbatch = shard_batch(
-                self.mesh,
-                {key: v for key, v in batch.items() if key != "valid"})
+            jbatch = shard_batch(self.mesh, dict(batch))
         else:
-            jbatch = {key: jax.device_put(v) for key, v in batch.items()
-                      if key != "valid"}
+            jbatch = {key: jax.device_put(v) for key, v in batch.items()}
         return jbatch, batch
 
     # hist-vs-exact mAP agreement bound: a hist candidate within this margin

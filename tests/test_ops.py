@@ -256,3 +256,20 @@ def test_map_packed_labels_identical():
             packed = float(calc_map(qB, rB, qL, rL, k=k, method=method,
                                     chunk=16, pack_labels=True))
             assert packed == dense, (L, method, k, packed, dense)
+
+
+def test_pack_codes_np_parity():
+    """Host numpy packing (used to avoid device round-trips for big label
+    matrices) is bit-identical to the on-device pack_codes."""
+    import numpy as np
+
+    from ccmh.ops.packing import pack_codes, pack_codes_np
+
+    rng = np.random.RandomState(4)
+    for k in (16, 32, 64, 80, 291):
+        x = (rng.rand(37, k) < 0.3).astype(np.float32)
+        np.testing.assert_array_equal(
+            pack_codes_np(x), np.asarray(pack_codes(jnp.asarray(x))))
+        pm = (rng.randint(0, 2, (11, k)) * 2 - 1).astype(np.int8)
+        np.testing.assert_array_equal(
+            pack_codes_np(pm), np.asarray(pack_codes(jnp.asarray(pm))))

@@ -39,15 +39,10 @@ def _synthetic_twdh_assets(tmp_dir) -> str:
     """TwDH center/trans npz for nclass=8, long=16 bits, one short length 8."""
     import os
 
-    path = os.path.join(str(tmp_dir), "twdh_centers.npz")
-    if not os.path.exists(path):
-        r = np.random.RandomState(0)
-        np.savez(path, **{
-            "long/16": (r.randint(0, 2, (8, 16)) * 2 - 1).astype(np.float32),
-            "short/8": (r.randint(0, 2, (8, 8)) * 2 - 1).astype(np.float32),
-            "trans/16/8": r.randn(32, 16).astype(np.float32),
-        })
-    return path
+    from ccmh.data.synthetic import write_synthetic_twdh_assets
+
+    return write_synthetic_twdh_assets(
+        os.path.join(str(tmp_dir), "twdh_centers.npz"))
 
 
 def build(method_name="DCHMT", batch=16, jit=True):
@@ -265,10 +260,11 @@ def _batch_for(method, batch_np):
     return b
 
 
-ALL_METHODS = [
-    "DCHMT", "DSPH", "MITH", "DNPH", "TwDH", "DHaPH", "DMsH_LN", "DNpH",
-    "DPBE", "DDWSH", "DDBH", "DScPH", "DPSIH", "DGHDGH",
-]
+# the registry IS the coverage claim: a 15th registered method is
+# automatically swept by this test and the multichip dry run
+from ccmh.train.methods import available_methods
+
+ALL_METHODS = available_methods()
 
 
 @pytest.mark.slow

@@ -52,17 +52,9 @@ def make_trainer(method: str, tmp_path, **kw) -> Trainer:
 
 def _twdh_assets(tmp_path) -> str:
     """Synthetic TwDH center/trans npz: long=16 bits, one short length 8."""
-    path = str(tmp_path / "twdh_centers.npz")
-    r = np.random.RandomState(0)
-    np.savez(
-        path,
-        **{
-            "long/16": (r.randint(0, 2, (8, 16)) * 2 - 1).astype(np.float32),
-            "short/8": (r.randint(0, 2, (8, 8)) * 2 - 1).astype(np.float32),
-            "trans/16/8": r.randn(32, 16).astype(np.float32),
-        },
-    )
-    return path
+    from ccmh.data.synthetic import write_synthetic_twdh_assets
+
+    return write_synthetic_twdh_assets(str(tmp_path / "twdh_centers.npz"))
 
 
 def test_split_parity_with_reference():
@@ -316,3 +308,26 @@ def test_scan_unroll_identical(tmp_path):
     for a, b in zip(jax.tree.leaves(results[0]), jax.tree.leaves(results[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+def test_twdh_padded_eval_equals_ragged(tmp_path):
+    """Wrap-padded eval batches must not pollute TwDH's batch-statistics BN
+    encode (its valid() never leaves train mode — the BN normalizes with
+    the EVAL batch's stats).  The 'valid' mask now travels to the device
+    and masks pad rows out of the statistics, so a wrap-padded loader
+    (eval_batch=10 on 16 queries: final batch 6 real + 4 duplicated rows)
+    must produce byte-identical codes to a true-ragged loader with the
+    same batch composition ([10], [6]) — the reference DataLoader's
+    semantics."""
+    from ccmh.data.dataset import BatchIterator
+
+    t = make_trainer("TwDH", tmp_path, eval_batch=10)
+    padded_i, padded_t, _ = t.get_code(t.query_loader, len(t.query_data))
+
+    ragged_loader = BatchIterator(
+        t.query_data, 10, shuffle=False, seed=t.cfg.seed, num_workers=2,
+        ragged_last=True)
+    ragged_i, ragged_t, _ = t.get_code(ragged_loader, len(t.query_data))
+
+    np.testing.assert_array_equal(np.asarray(padded_i), np.asarray(ragged_i))
+    np.testing.assert_array_equal(np.asarray(padded_t), np.asarray(ragged_t))

@@ -168,7 +168,9 @@ def main():
         p, o, g, acc = c
         updates, o2 = tx.update(g, o, p)
         p2 = __import__("optax").apply_updates(p, updates)
-        return (p2, o2, g, acc + jnp.sum(updates["img_head"]["w"]))
+        # first leaf, not a named head: the head pytree differs per method
+        # (--method MITH/TwDH have no img_head.w)
+        return (p2, o2, g, acc + jnp.sum(jax.tree.leaves(updates)[0]))
 
     t_opt = timed_loop(opt, (state.params, state.opt_state, g0, jnp.float32(0)))
     log(f"BertAdam update: {t_opt * 1e3:.1f} ms")
