@@ -11,13 +11,20 @@ every head's (QK^T -> masked fp32 softmax -> PV) without touching HBM in
 between; the only HBM traffic is the natural-layout qkv read and the
 [B, L, D] context write.  The backward is a flash-style Pallas kernel of
 the same shape: it recomputes logits+softmax in VMEM and emits dq/dk/dv
-in one pass (``jax.custom_vjp``).  Numerics match the XLA formulation
-(fp32 logits/softmax, bf16 elsewhere; grad-parity test).
+in one pass (``jax.custom_vjp``), with a head-STACKED schedule — all
+heads' logit/dprobs dots first, then ONE softmax+vjp elementwise chain
+over the [BB, H, L, L] stack, then all output dots (measured 582 -> 343
+us/call on the ViT-B/32 tower, 200 -> 136 on the text tower; the per-head
+interleaving spent ~230 us in EACH of the two short VPU chains fencing
+the MXU — ablations in tools/bench_attn_bwd.py).  Numerics match the XLA
+formulation (fp32 logits/softmax, bf16 elsewhere; grad-parity test).
 
 A head-pair 2-D grid variant (128-lane blocks via index maps) benches
 ~20% faster in isolation but ~2% slower end-to-end inside the scan —
 the 1-D grid pipelines better between the surrounding matmuls, so it
-stays.
+stays.  Stacking the FORWARD's softmax the same way measured a wash on
+the vision tower (176 vs 171 us — the fwd is at ~72% of its HBM roofline
+already) and is not adopted.
 
 Roofline (v5e, ViT-B/32 encode, B=256): each forward call must read the
 59 MB qkv block and write the 20 MB context -> ~96 us of mandatory HBM
@@ -51,14 +58,32 @@ from jax.experimental.pallas import tpu as pltpu
 # dying with a scoped-vmem OOM at compile time.
 _VMEM_BUDGET = 14 * 2**20
 
+def _ru(x: int, m: int) -> int:
+    return -(-x // m) * m
+
 
 def _pick_block_b(batch: int, target: int, L: int, D3: int, itemsize: int,
-                  *, backward: bool) -> int:
+                  *, backward: bool, n_head: int = 1) -> int:
+    """VMEM-budget block sizing.
+
+    The fp32 [.., L, L] softmax temporaries are PADDED in VMEM to (8, 128)
+    tiles — at L=32 that is a 4x inflation — and the backward's
+    head-stacked schedule (see _bwd_kernel) keeps ~5 stacked temps live at
+    once (logits pieces / stacked logits / dprobs / vjp chain / casts).
+    This model reproduces the compiler's scoped-vmem accounting: the text
+    tower at bb=16 is reported as 7.3 MB of double-buffered blocks + 10.5 MB
+    of stacked temps = 17.8 MB (OOM, measured 17.77M), while bb=8 and the
+    vision tower at bb=4 fit and are the measured-fastest sizes anyway
+    (tools/bench_attn_bwd.py).
+    """
     D = D3 // 3
     # double-buffered in/out blocks per batch element...
     per_elem = 2 * (L * D3 + L * D + (L * D3 if backward else 0)) * itemsize
-    # ...plus the per-head fp32 logits/probs (and dprobs/dlogits) temps
-    temp_per_elem = (4 if backward else 2) * L * L * 4
+    # ...plus the tile-padded fp32 softmax temps: the backward keeps ~5
+    # head-stacked [bb, H, L, L] temps live, the forward holds 2 for one
+    # head at a time
+    padded_ll = _ru(L, 8) * _ru(L, 128) * 4
+    temp_per_elem = (5 * n_head if backward else 2) * padded_ll
     bb = max(1, min(target, batch, _VMEM_BUDGET // (per_elem + temp_per_elem)))
     while bb > 1 and batch % bb:
         bb -= 1
@@ -138,9 +163,18 @@ def _pallas_forward(qkv: jax.Array, bias: Optional[jax.Array],
 
 def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_head: int, head_dim: int,
                 has_bias: bool, bias_ref=None, qkv_b_ref=None):
-    """Flash-style backward: recompute logits+softmax per head in VMEM,
-    emit dq/dk/dv — no [B, H, L, L] HBM traffic and none of the
-    latency-bound XLA relayouts of the naive vjp."""
+    """Flash-style backward: recompute logits+softmax in VMEM, emit dq/dk/dv
+    — no [B, H, L, L] HBM traffic and none of the latency-bound XLA
+    relayouts of the naive vjp.
+
+    Head-STACKED schedule: phase 1 runs every head's logits + dprobs dots
+    (MXU), phase 2 runs ONE softmax + softmax-vjp elementwise/reduce chain
+    over the whole [BB, H, L, L] stack (VPU), phase 3 runs the dq/dk/dv
+    dots + stores.  A per-head loop interleaves 12 short VPU chains between
+    the dots and each chain fences the MXU: ablations attribute ~230 us of
+    the ViT-B/32 call to EACH of the two chains, and stacking them measured
+    582 -> 343 us/call (text tower 200 -> 136); see tools/bench_attn_bwd.py.
+    """
     D = n_head * head_dim
     qkv = qkv_ref[:]                                       # [BB, L, 3D]
     if qkv_b_ref is not None:
@@ -151,40 +185,49 @@ def _bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, n_head: int, head_dim: int,
     g = g_ref[:]                                           # [BB, L, D]
     scale = 1.0 / math.sqrt(head_dim)
     bias = bias_ref[:].astype(jnp.float32) if has_bias else None
+
+    def head_slices(h):
+        return (qkv[:, :, h * head_dim:(h + 1) * head_dim],
+                qkv[:, :, D + h * head_dim : D + (h + 1) * head_dim],
+                qkv[:, :, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim],
+                g[:, :, h * head_dim:(h + 1) * head_dim])
+
+    # phase 1: all heads' logits and dprobs = g @ v^T (MXU only)
+    logits_l, dprobs_l = [], []
     for h in range(n_head):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = qkv[:, :, sl]
-        k = qkv[:, :, D + h * head_dim : D + (h + 1) * head_dim]
-        v = qkv[:, :, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim]
-        g_h = g[:, :, sl]                                  # [BB, L, Dh]
-
-        logits = jax.lax.dot_general(
+        q, k, v, g_h = head_slices(h)
+        logits_l.append(jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale    # [BB, Lq, Lk]
-        if bias is not None:
-            logits = logits + bias[None, :, :]
-        probs = jax.nn.softmax(logits, axis=-1)            # f32
-        probs_c = probs.astype(qkv.dtype)
-
-        # dv = probs^T @ g  (contract over the query axis)
-        dv = jax.lax.dot_general(
-            probs_c, g_h, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)            # [BB, Lk, Dh]
-        # dprobs = g @ v^T
-        dprobs = jax.lax.dot_general(
+            preferred_element_type=jnp.float32))           # [BB, Lq, Lk]
+        dprobs_l.append(jax.lax.dot_general(
             g_h, v, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)            # [BB, Lq, Lk]
-        # softmax vjp: dlogits = p * (dp - sum(dp * p))
-        dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
-                                            keepdims=True))
-        dlogits = (dlogits * scale).astype(qkv.dtype)
+            preferred_element_type=jnp.float32))           # [BB, Lq, Lk]
+    logits = jnp.stack(logits_l, axis=1) * scale           # [BB, H, Lq, Lk]
+    if bias is not None:
+        logits = logits + bias[None, None, :, :]
+    dprobs = jnp.stack(dprobs_l, axis=1)
+
+    # phase 2: one softmax + softmax-vjp chain over the whole stack (VPU)
+    probs = jax.nn.softmax(logits, axis=-1)                # f32
+    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                        keepdims=True))
+    probs_c = probs.astype(qkv.dtype)
+    dlogits_c = (dlogits * scale).astype(qkv.dtype)
+
+    # phase 3: output dots + stores (MXU)
+    for h in range(n_head):
+        q, k, v, g_h = head_slices(h)
         dq = jax.lax.dot_general(
-            dlogits, k, (((2,), (1,)), ((0,), (0,))),
+            dlogits_c[:, h], k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)            # [BB, Lq, Dh]
         dk = jax.lax.dot_general(
-            dlogits, q, (((1,), (1,)), ((0,), (0,))),
+            dlogits_c[:, h], q, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)            # [BB, Lk, Dh]
-        dqkv_ref[:, :, sl] = dq.astype(qkv.dtype)
+        # dv = probs^T @ g  (contract over the query axis)
+        dv = jax.lax.dot_general(
+            probs_c[:, h], g_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)            # [BB, Lk, Dh]
+        dqkv_ref[:, :, h * head_dim:(h + 1) * head_dim] = dq.astype(qkv.dtype)
         dqkv_ref[:, :, D + h * head_dim : D + (h + 1) * head_dim] = dk.astype(qkv.dtype)
         dqkv_ref[:, :, 2 * D + h * head_dim : 2 * D + (h + 1) * head_dim] = dv.astype(qkv.dtype)
 
@@ -195,7 +238,8 @@ def _pallas_backward(qkv: jax.Array, bias: Optional[jax.Array],
     B, L, D3 = qkv.shape
     D = D3 // 3
     head_dim = D // n_head
-    bb = _pick_block_b(B, block_b, L, D3, qkv.dtype.itemsize, backward=True)
+    bb = _pick_block_b(B, block_b, L, D3, qkv.dtype.itemsize, backward=True,
+                       n_head=n_head)
     interpret = jax.default_backend() != "tpu"
     g = g.astype(qkv.dtype)
 

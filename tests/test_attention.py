@@ -80,6 +80,50 @@ def test_grad_matches_xla():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "B,L,D,H,use_bias",
+    [(2, 50, 768, 12, False),   # ViT-B/32 vision tower layout
+     (2, 32, 512, 8, True)])    # text tower layout (causal bias)
+def test_grad_matches_xla_tower_layouts(B, L, D, H, use_bias):
+    """Backward parity at the PRODUCTION tower head-counts/widths: the
+    head-stacked bwd schedule's three phases scale with n_head, so the tiny
+    H=4 case alone doesn't pin the stacking/unstacking index arithmetic."""
+    rng = np.random.RandomState(5)
+    qkv = jnp.asarray(rng.randn(B, L, 3 * D) * 0.3, jnp.float32)
+    bias = causal_mask(L) if use_bias else None
+
+    g1 = jax.grad(lambda a: jnp.sum(jnp.tanh(fused_attention(a, bias, H))))(qkv)
+    g2 = jax.grad(lambda a: jnp.sum(jnp.tanh(_xla_attention(a, bias, H))))(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-5, rtol=1e-4)
+
+
+def test_pick_block_b_vmem_model():
+    """The block-sizing model must (a) reproduce the measured compile-time
+    fits on v5e — text-tower backward OOMs at bb=16 (compiler reported
+    17.77 MiB) and lands on 8, vision backward lands on 4 — and (b) never
+    model past the budget or pick a non-divisor block."""
+    from ccmh.ops.attention import _VMEM_BUDGET, _pick_block_b, _ru
+
+    # measured anchors (bf16 towers, batch 256, preferred target 16)
+    assert _pick_block_b(256, 16, 50, 3 * 768, 2, backward=True, n_head=12) == 4
+    assert _pick_block_b(256, 16, 32, 3 * 512, 2, backward=True, n_head=8) == 8
+    # forward keeps the preferred block at tower shapes
+    assert _pick_block_b(256, 16, 50, 3 * 768, 2, backward=False) == 16
+
+    for batch in (7, 64, 256, 300):
+        for L in (5, 32, 50, 64, 77):
+            for D in (64, 512, 768):
+                for itemsize, backward, H in ((2, True, 8), (4, True, 12),
+                                              (4, False, 1), (2, False, 1)):
+                    bb = _pick_block_b(batch, 16, L, 3 * D, itemsize,
+                                       backward=backward, n_head=H)
+                    assert 1 <= bb <= batch and batch % bb == 0
+                    per_elem = 2 * (L * 3 * D + L * D
+                                    + (L * 3 * D if backward else 0)) * itemsize
+                    temps = (5 * H if backward else 2) * _ru(L, 8) * _ru(L, 128) * 4
+                    assert bb == 1 or bb * (per_elem + temps) <= _VMEM_BUDGET
+
+
 def test_model_fused_equals_xla_tower():
     """Full tiny-CLIP forward: fused vs xla attention implementations."""
     from ccmh.clip import model as M
