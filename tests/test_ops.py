@@ -273,3 +273,79 @@ def test_pack_codes_np_parity():
         pm = (rng.randint(0, 2, (11, k)) * 2 - 1).astype(np.int8)
         np.testing.assert_array_equal(
             pack_codes_np(pm), np.asarray(pack_codes(jnp.asarray(pm))))
+
+
+# ---------------------------------------------------------------------------
+# DPSIH multi-embed ranking (make_dist_fn + shared calc_map machinery)
+# ---------------------------------------------------------------------------
+
+def _dpsih_codes(n, e, k, seed):
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, 2, size=(n, e, k)) * 2 - 1).astype(np.float32)
+
+
+def test_dpsih_multi_embed_map_vs_reference_oracle():
+    """DPSIH ranks by the best embed-pair similarity; ccmh expresses it as a
+    dist_fn over flattened [B, E*K] codes for the shared calc_map.  Parity
+    vs the reference's SHIPPED multi-embed oracle
+    (train/DPSIH/_utils.py:5-31 — the trainer never wires it up and the
+    base get_code shape-crashes on [B, E, K] codes, so this oracle is the
+    only executable reference for the intended eval): the distance matrix
+    must match exactly; mAP within argsort tie noise; and the PRODUCTION
+    path (Trainer.valid -> hist with n_bins=output_dim+1) tracks exact
+    within expected-tie noise."""
+    from ccmh.train.methods.dpsih import make_dist_fn
+
+    ref = load_reference_module("train/DPSIH/_utils.py")
+    E, K, nq, nr = 4, 16, 30, 80
+    qB = _dpsih_codes(nq, E, K, 21)
+    rB = _dpsih_codes(nr, E, K, 22)
+    qL = random_labels(nq, 8, 23)
+    rL = random_labels(nr, 8, 24)
+
+    dist_fn = make_dist_fn(K)
+    q_flat, r_flat = jnp.asarray(qB.reshape(nq, -1)), jnp.asarray(rB.reshape(nr, -1))
+    sim = np.einsum("aek,bfk->abef", qB, rB)
+    np.testing.assert_array_equal(
+        np.asarray(dist_fn(q_flat, r_flat)),
+        ((K - sim.max(axis=(2, 3))) / 2).astype(np.int32))
+
+    expected = float(ref.mean_average_precision(
+        torch.from_numpy(qB), torch.from_numpy(rB),
+        torch.from_numpy(qL), torch.from_numpy(rL)))
+    got_exact = float(calc_map(q_flat, r_flat, jnp.asarray(qL), jnp.asarray(rL),
+                               method="exact", dist_fn=dist_fn))
+    assert abs(got_exact - expected) < 0.02, (got_exact, expected)
+
+    got_hist = float(calc_map(q_flat, r_flat, jnp.asarray(qL), jnp.asarray(rL),
+                              method="hist", dist_fn=dist_fn, n_bins=K + 1))
+    assert abs(got_hist - got_exact) < 0.02, (got_hist, got_exact)
+
+
+def test_dpsih_multi_embed_map_tie_free_exact():
+    """Single query with every gallery item at a DISTINCT best-pair distance:
+    the oracle's argsort order is unique, so equality must be exact."""
+    from ccmh.train.methods.dpsih import make_dist_fn
+
+    ref = load_reference_module("train/DPSIH/_utils.py")
+    E, K = 4, 16
+    rng = np.random.RandomState(3)
+    q0 = (rng.randint(0, 2, size=(1, K)) * 2 - 1).astype(np.float32)
+    qB = np.repeat(q0, E, axis=0)[None]                  # all embeds equal
+    items = []
+    for i in range(9):
+        r = q0.copy()
+        r[0, :i] *= -1                                   # best-pair distance i
+        items.append(np.repeat(r, E, axis=0))
+    rB = np.stack(items)[rng.permutation(9)]
+    qL = np.ones((1, 1), np.float32)
+    rL = rng.randint(0, 2, size=(9, 1)).astype(np.float32)
+    rL[0] = 1
+    expected = float(ref.mean_average_precision(
+        torch.from_numpy(qB), torch.from_numpy(rB),
+        torch.from_numpy(qL), torch.from_numpy(rL)))
+    got = float(calc_map(jnp.asarray(qB.reshape(1, -1)),
+                         jnp.asarray(rB.reshape(9, -1)),
+                         jnp.asarray(qL), jnp.asarray(rL),
+                         method="exact", dist_fn=make_dist_fn(K)))
+    assert abs(got - expected) < 1e-6
