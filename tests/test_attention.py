@@ -68,10 +68,14 @@ def test_folded_qkv_bias_parity_and_grads():
     np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-5, rtol=1e-4)
 
 
-def test_grad_matches_xla():
+@pytest.mark.parametrize("B,L,D,H", [
+    (2, 10, 32, 4),    # baseline tiny
+    (3, 7, 48, 3),     # odd L, odd head count, head_dim 16
+    (2, 77, 512, 8),   # max text context length at production width
+])
+def test_grad_matches_xla(B, L, D, H):
     """custom_vjp backward == differentiating the XLA reference directly."""
     rng = np.random.RandomState(3)
-    B, L, D, H = 2, 10, 32, 4
     qkv = jnp.asarray(rng.randn(B, L, 3 * D), jnp.float32)
     bias = causal_mask(L)
 
