@@ -165,7 +165,8 @@ def assert_loops_agree(t_ref, trainer, method):
 
     # final-model extracted codes: sign parity query+retrieval, both towers
     with torch.no_grad():
-        get = {"MITH": getattr(t_ref, "get_code_MITH", None)}.get(
+        get = {"MITH": getattr(t_ref, "get_code_MITH", None),
+               "DCHMT": getattr(t_ref, "get_code_DCHMT", None)}.get(
             method) or t_ref.get_code
         rq_i, rq_t, _ = get(t_ref.query_loader, QUERY_NUM)
         rr_i, rr_t, _ = get(t_ref.retrieval_loader, t_ref.args.retrieval_num)
@@ -207,6 +208,48 @@ def test_whole_loop_dsph(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
     trainer.train()    # the production ccmh loop (cli.py's Trainer.run path)
 
     assert_loops_agree(t, trainer, "DSPH")
+
+
+# --------------------------------------------------------------------- DCHMT
+def test_whole_loop_dchmt(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
+                          data_dir):
+    """3 full epochs of the REAL DCHMTTrainer loop against the ccmh Trainer.
+    The distinct piece is the EVAL encode: base.valid dispatches DCHMT to
+    get_code_DCHMT (train/base.py:160-177), whose codes come from argmax
+    over each bit's 2-way soft pair (make_hash_code_DCHMT, :149-157 —
+    argmax 0 -> -1) rather than sign().  The other four whole-loop tests
+    all use sign-style codes, so this closes the last distinct
+    get_code/valid variant in the reference."""
+    args = make_loop_args("DCHMT", "DCHMT", tiny_clip_pt, data_dir,
+                          tmp_path / "ref", numclass=NCLASS,
+                          display_step=10**9)
+    assert args.hash_layer == "select"
+    t, _ = build_ref_full("DCHMT", "DCHMTTrainer", args)
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+
+    def conv_select(mod):
+        pairs_w = np.stack(
+            [tnp(lin.weight).T for lin in mod.hash_list], axis=1)  # [128,K,2]
+        pairs_b = np.stack([tnp(lin.bias) for lin in mod.hash_list])
+        return {"fc_w": jnp.asarray(tnp(mod.fc.weight).T),
+                "fc_b": jnp.asarray(tnp(mod.fc.bias)),
+                "pairs_w": jnp.asarray(pairs_w),
+                "pairs_b": jnp.asarray(pairs_b)}
+
+    heads = {"img_head": conv_select(t.model.image_hash),
+             "txt_head": conv_select(t.model.text_hash)}
+
+    trainer = build_ccmh_trainer("DCHMT", data_dir, tmp_path, clip_params,
+                                 monkeypatch)
+    override_params(trainer, heads)
+
+    t.train()
+    trainer.train()
+
+    assert_loops_agree(t, trainer, "DCHMT")
 
 
 # ---------------------------------------------------------------------- MITH
