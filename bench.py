@@ -140,7 +140,33 @@ def _bench_images(B: int, clip_cfg):
         jnp.float32)
 
 
+def _probe_backend(timeout_s: int = 900) -> bool:
+    """Device enumeration in a SUBPROCESS with a hard timeout: the relay
+    attaching the TPU has been observed to wedge for hours with
+    jax.devices() hanging indefinitely, and a bench that never returns is
+    worse for the driver than an honest failure line."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_backend():
+        log("backend probe failed: device enumeration hung/errored "
+            "(relay wedged?) — emitting error line instead of hanging")
+        print(json.dumps({
+            "metric": "image_text_encodes_per_sec_per_chip", "value": 0,
+            "unit": "pairs/s", "vs_baseline": 0.0,
+            "error": "tpu backend unavailable (device enumeration timed out)",
+        }), flush=True)
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 
