@@ -92,3 +92,31 @@ def test_tensorboard_events_written(tmp_path):
               if f.startswith("events.out.tfevents")]
     assert events, "no event files written"
     assert os.path.getsize(tmp_path / "tb" / events[0]) > 0
+
+
+def test_cli_test_mode(tmp_path):
+    """The --test surface (reference main.py is_train=False -> TrainBase.test,
+    train/base.py:277-305): a CLI train run producing an orbax state_ckpt,
+    then a second CLI invocation with --test --pretrained pointing at it —
+    test.log, 4-way mAP line, and the .mat export must appear."""
+    data_dir = write_synthetic_mat_dataset(str(tmp_path / "data"), n=48,
+                                           n_class=6, resolution=32)
+    common = [
+        "--method", "DSPH", "--dataset", "synthetic", "--output-dim", "16",
+        "--data-dir", data_dir, "--batch-size", "12", "--query-num", "12",
+        "--train-num", "24", "--eval-batch", "12", "--clip-arch", "tiny",
+    ]
+    trainer = main(common + ["--save-dir", str(tmp_path / "out"),
+                             "--epochs", "1", "--checkpoint-every", "1"])
+    ckpt = os.path.join(trainer.cfg.save_dir, "state_ckpt")
+    assert os.path.isdir(ckpt)
+
+    t2 = main(common + ["--save-dir", str(tmp_path / "out_test"),
+                        "--test", "--pretrained", ckpt])
+    save_dir = t2.cfg.save_dir
+    assert os.path.exists(os.path.join(save_dir, "test.log"))
+    with open(os.path.join(save_dir, "test.log")) as fh:
+        log_text = fh.read()
+    assert "MAP(i->t)" in log_text
+    assert os.path.exists(
+        os.path.join(save_dir, "PR_cruve", "16-ours-synthetic-i2t.mat"))
