@@ -166,7 +166,8 @@ def assert_loops_agree(t_ref, trainer, method):
     # final-model extracted codes: sign parity query+retrieval, both towers
     with torch.no_grad():
         get = {"MITH": getattr(t_ref, "get_code_MITH", None),
-               "DCHMT": getattr(t_ref, "get_code_DCHMT", None)}.get(
+               "DCHMT": getattr(t_ref, "get_code_DCHMT", None),
+               "DNPH": getattr(t_ref, "get_code_DNPH", None)}.get(
             method) or t_ref.get_code
         rq_i, rq_t, _ = get(t_ref.query_loader, QUERY_NUM)
         rr_i, rr_t, _ = get(t_ref.retrieval_loader, t_ref.args.retrieval_num)
@@ -217,9 +218,9 @@ def test_whole_loop_dchmt(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
     The distinct piece is the EVAL encode: base.valid dispatches DCHMT to
     get_code_DCHMT (train/base.py:160-177), whose codes come from argmax
     over each bit's 2-way soft pair (make_hash_code_DCHMT, :149-157 —
-    argmax 0 -> -1) rather than sign().  The other four whole-loop tests
-    all use sign-style codes, so this closes the last distinct
-    get_code/valid variant in the reference."""
+    argmax 0 -> -1) rather than sign().  The other whole-loop tests all
+    use sign-style codes; with this and test_whole_loop_dnph every
+    get_code/valid variant in the reference runs the full loop."""
     args = make_loop_args("DCHMT", "DCHMT", tiny_clip_pt, data_dir,
                           tmp_path / "ref", numclass=NCLASS,
                           display_step=10**9)
@@ -304,6 +305,76 @@ def test_whole_loop_mith(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
     trainer.train()
 
     assert_loops_agree(t, trainer, "MITH")
+
+
+# ---------------------------------------------------------------- DNPH (TOMM)
+def test_whole_loop_dnph(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
+                         data_dir):
+    """3 full epochs of the REAL DNPHTOMMTrainer loop vs the ccmh Trainer,
+    through the reference's OWN get_code_DNPH eval (tuple-unpack + sign,
+    train/base.py:205-228).
+
+    Upstream landmine documented here: main.py registers the trainer under
+    method name 'DNPH' (main.py:23) but base.valid dispatches get_code_DNPH
+    only on 'DNPH-TOMM' (train/base.py:253) — with the shipped name the
+    else-branch get_code calls torch.sign on the model's (embed, label_pre)
+    TUPLE and crashes, so the committed DNPH valid loop is unrunnable.
+    This test sets args.method = 'DNPH-TOMM' so the clearly-intended eval
+    branch runs; ccmh's DNPH encode implements exactly that branch.
+
+    The ±1 Hungarian-regularizer noise is unalignable RNG (reference: the
+    numpy global stream, b_reg.py:5-17; ccmh: jax PRNG), so BOTH sides are
+    pinned to one fixed matrix as in test_dnph_trajectory; the per-step
+    Hungarian assignment itself still evolves with the codes.  The proxy
+    SGD stays at the reference-faithful default (constructed, never
+    stepped — config dnph.repair_proxy_sgd=False)."""
+    import train.DNPH_TOMM.hash_train as ht_mod
+
+    import ccmh.losses.dnph_tomm as dnph_mod
+    import ccmh.train.methods.dnph_tomm as dnph_method_mod
+    from tests.test_trajectory import conv_linear_hash as conv_lh  # noqa: F811
+
+    noise0 = (np.random.RandomState(9).randint(0, 2, (B, K)) * 2 - 1)
+    monkeypatch.setattr(ht_mod, "rand_unit_rect", lambda b, k: noise0.copy())
+
+    def fixed_noise_reg(rng, hash_img, hash_txt):
+        noise = jnp.asarray(noise0, jnp.float32)
+        i_noise = dnph_mod.assign_noise(hash_img, noise)
+        t_noise = dnph_mod.assign_noise(hash_txt, noise)
+        return (jnp.mean(jnp.sum(hash_img * i_noise, axis=-1))
+                + jnp.mean(jnp.sum(hash_txt * t_noise, axis=-1)))
+
+    monkeypatch.setattr(dnph_method_mod, "noise_regularizer", fixed_noise_reg)
+
+    args = make_loop_args("DNPH_TOMM", "DNPH", tiny_clip_pt, data_dir,
+                          tmp_path / "ref", nclass=NCLASS)
+    args.method = "DNPH-TOMM"  # see docstring: the shipped name crashes
+    t, _ = build_ref_full("DNPH_TOMM", "DNPHTOMMTrainer", args)
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+
+    def conv_pre(mod):
+        return {"w": jnp.asarray(tnp(mod.fc.weight).T),
+                "b": jnp.asarray(tnp(mod.fc.bias))}
+
+    heads = {"img_head": conv_lh(t.model.image_hash),
+             "txt_head": conv_lh(t.model.text_hash),
+             "img_pre": conv_pre(t.model.image_pre),
+             "txt_pre": conv_pre(t.model.text_pre)}
+    extra = {"proxies": jnp.asarray(tnp(t.DNPH.proxies))}
+
+    trainer = build_ccmh_trainer("DNPH", data_dir, tmp_path, clip_params,
+                                 monkeypatch)
+    override_params(trainer, heads, extra=extra)
+
+    t.train()
+    trainer.train()
+
+    assert_loops_agree(t, trainer, "DNPH")
 
 
 # ---------------------------------------------------------------------- TwDH
