@@ -144,6 +144,12 @@ class DScPHConfig:
     tau: float = 0.9
     bit_var_weight: float = 0.1
     rot_lr: float = 1e-3
+    # Repair gate: the reference never puts the Householder rotation in any
+    # optimizer group (train/DScPH/hash_train.py:37-44 — recorded bug), so
+    # upstream the rotation stays frozen at identity.  True (default) trains
+    # it as clearly intended; False reproduces the reference's frozen-rot
+    # dynamics exactly (used by the whole-loop parity test).
+    train_rot: bool = True
 
 
 @dataclass

@@ -1,7 +1,10 @@
 """DScPH method (TMM'25): LinearHash + CPF proxies + Householder rotation.
 CPF weights train under the head lr (hash_train.py:40-44); the rotation is
-trainable here (reference bug: never optimized) so both live in the head
-param tree rather than a separately-optimized extra tree."""
+trainable by default (reference bug: never optimized — hash_train.py:37-44
+omits ``self.rot`` from every group) so both live in the head param tree
+rather than a separately-optimized extra tree.  ``dscph.train_rot=False``
+severs the rotation's gradient to reproduce the reference's frozen-rot
+dynamics exactly."""
 
 from __future__ import annotations
 
@@ -39,7 +42,12 @@ def _hashes(params, batch, clip_cfg, cfg, rng=None, train=False):
 
 def _loss(params, extra, aux, batch, rng, cfg: Config, clip_cfg: ClipConfig):
     hi, ht = _hashes(params, batch, clip_cfg, cfg, rng, train=True)
-    loss, metrics = dscph_loss(hi, ht, batch["label"], params["loss_heads"], cfg.dscph)
+    loss_heads = params["loss_heads"]
+    if not cfg.dscph.train_rot:
+        loss_heads = {**loss_heads,
+                      "rot": jax.tree.map(jax.lax.stop_gradient,
+                                          loss_heads["rot"])}
+    loss, metrics = dscph_loss(hi, ht, batch["label"], loss_heads, cfg.dscph)
     return loss, (aux, metrics)
 
 

@@ -1005,14 +1005,13 @@ def test_dscph_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
 
     The reference never puts the rotation in any optimizer (recorded bug,
     repaired in ccmh — methods/dscph.py); to compare against the runnable
-    reference the ccmh rotation's gradient is severed for this test.  Its
-    BertAdam weight decay still shrinks the (identity-initialized) weights
-    uniformly, which cancels in the column normalization, so losses and
-    every other parameter must still track exactly.  CPF's hardcoded
-    `device=1` (hash_train.py:36) is redirected to CPU."""
+    reference the ccmh rotation's gradient is severed via the repair gate
+    ``dscph.train_rot=False``.  Its BertAdam weight decay still shrinks the
+    (identity-initialized) weights uniformly, which cancels in the column
+    normalization, so losses and every other parameter must still track
+    exactly.  CPF's hardcoded `device=1` (hash_train.py:36) is redirected
+    to CPU."""
     import train.DScPH.hash_train as ht_mod
-    import ccmh.losses.dscph as dscph_loss_mod
-    import ccmh.train.methods.dscph as dscph_method_mod
 
     real_cpf_cls = ht_mod.CPF
     monkeypatch.setattr(
@@ -1035,15 +1034,6 @@ def test_dscph_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
 
     monkeypatch.setattr(ht_mod, "bit_var_loss", RecBV)
 
-    orig_loss = dscph_loss_mod.dscph_loss
-
-    def frozen_rot_loss(hi, ht_, label, loss_heads, mcfg):
-        lh = dict(loss_heads)
-        lh["rot"] = jax.tree.map(jax.lax.stop_gradient, loss_heads["rot"])
-        return orig_loss(hi, ht_, label, lh, mcfg)
-
-    monkeypatch.setattr(dscph_method_mod, "dscph_loss", frozen_rot_loss)
-
     args = make_ref_args("DScPH", "DScPH", tiny_clip_pt, nclass=C)
     batches = make_batches()
     t, _ = build_ref_trainer("DScPH", "DScPHTrainer", args,
@@ -1065,6 +1055,7 @@ def test_dscph_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
 
     cfg = Config(method="DScPH", output_dim=K, nclass=C, epochs=1,
                  batch_size=B, train_num=N_TRAIN)
+    cfg.dscph.train_rot = False  # reference-faithful frozen rotation
 
     t.train_epoch(0)
     ref_losses = [c + rec["q"][2 * i] + rec["q"][2 * i + 1]

@@ -531,3 +531,228 @@ def test_whole_loop_dpbe(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
     trainer.train()
 
     assert_loops_agree(t, trainer, "DPBE")
+
+
+# ---------------------------------------------------------------- DNpH (TMM)
+def test_whole_loop_dnph_tmm(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
+                             data_dir):
+    """3 full epochs of the REAL DNpHTMMTrainer loop (qmi loss + BertAdam,
+    train/DNpH_TMM/hash_train.py:46-74 — the simplest trainer in the suite)
+    vs the ccmh Trainer.  qmi_loss hardcodes torch.cuda.FloatTensor
+    (loss.py:41, recorded device bug); aliased to the CPU type."""
+    monkeypatch.setattr(torch.cuda, "FloatTensor", torch.FloatTensor,
+                        raising=False)
+
+    args = make_loop_args("DNpH_TMM", "DNpH", tiny_clip_pt, data_dir,
+                          tmp_path / "ref", numclass=NCLASS)
+    t, _ = build_ref_full("DNpH_TMM", "DNpHTMMTrainer", args)
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash)}
+
+    trainer = build_ccmh_trainer("DNpH", data_dir, tmp_path, clip_params,
+                                 monkeypatch)
+    override_params(trainer, heads)
+
+    t.train()
+    trainer.train()
+
+    assert_loops_agree(t, trainer, "DNpH")
+
+
+# ------------------------------------------------------------------- DMsH_LN
+def test_whole_loop_dmsh_ln(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
+                            data_dir):
+    """3 full epochs of the REAL DMsH_LNTrainer loop — LabelNet in the
+    BertAdam groups with the epoch-annealed alpha = sqrt(epoch+1)
+    (labelnet.py:6-22, set per epoch at train/DMsH_LN/hash_train.py:54) —
+    vs the ccmh Trainer.  The multi-epoch annealing is exactly what the
+    1-epoch trajectory golden could not cover.  The reference's MSL
+    cuda:1 cast (hash_train.py:35, recorded bug) is redirected to CPU."""
+    orig_to = torch.nn.Module.to
+
+    def cpu_to(self, *a, **k):
+        a = tuple("cpu" if isinstance(x, (str, torch.device)) and "cuda" in str(x)
+                  else x for x in a)
+        if "device" in k and "cuda" in str(k.get("device")):
+            k["device"] = "cpu"
+        return orig_to(self, *a, **k)
+
+    monkeypatch.setattr(torch.nn.Module, "to", cpu_to)
+
+    args = make_loop_args("DMsH_LN", "DMsH_LN", tiny_clip_pt, data_dir,
+                          tmp_path / "ref", numclass=NCLASS)
+    t, _ = build_ref_full("DMsH_LN", "DMsH_LNTrainer", args)
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+
+    def conv_label_net(mod):
+        return {"fc1": {"w": jnp.asarray(tnp(mod.fc1.weight).T),
+                        "b": jnp.asarray(tnp(mod.fc1.bias))},
+                "fc2": {"w": jnp.asarray(tnp(mod.fc2.weight).T),
+                        "b": jnp.asarray(tnp(mod.fc2.bias))}}
+
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash),
+             "label_net": conv_label_net(t.L_net)}
+
+    trainer = build_ccmh_trainer("DMsH_LN", data_dir, tmp_path, clip_params,
+                                 monkeypatch)
+    override_params(trainer, heads)
+
+    t.train()
+    trainer.train()
+
+    assert_loops_agree(t, trainer, "DMsH_LN")
+
+
+# --------------------------------------------------------------------- DHaPH
+def test_whole_loop_dhaph(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
+                          data_dir):
+    """3 full epochs of the REAL DHaPHTrainer loop — three optimizers
+    (BertAdam + 2x AdamW over HPmodel/LCAs, hash_train.py:44-50) and the
+    self-paced MS ramp over epochs (MSLoss.py:26-31) — vs the ccmh Trainer,
+    with ``alpha=0`` on BOTH sides: the hyperbolic term's reciprocal-topk
+    mining draws from the global numpy RNG inside the forward
+    (HPloss.py:162-183), unalignable with the jax PRNG (its Poincare math
+    has its own goldens, test_dhaph.py).  The HP extras still step under
+    AdamW's decoupled decay on both sides; codes never depend on them."""
+    import functools
+
+    import ccmh.losses.dhaph as dhaph_loss_mod
+    import ccmh.train.methods.dhaph as dhaph_method_mod
+
+    monkeypatch.setattr(
+        dhaph_method_mod, "dhaph_loss",
+        functools.partial(dhaph_loss_mod.dhaph_loss, alpha=0.0))
+
+    # HPloss.py:125 hardcodes `.to(0)` (a CUDA ordinal) in its constructor
+    orig_tensor_to = torch.Tensor.to
+
+    def cpu_tensor_to(self, *a, **k):
+        a = tuple("cpu" if ((isinstance(x, int) and not isinstance(x, bool))
+                            or (isinstance(x, (str, torch.device))
+                                and "cuda" in str(x))) else x for x in a)
+        if "device" in k and ("cuda" in str(k["device"])
+                              or (isinstance(k["device"], int)
+                                  and not isinstance(k["device"], bool))):
+            k["device"] = "cpu"
+        return orig_tensor_to(self, *a, **k)
+
+    monkeypatch.setattr(torch.Tensor, "to", cpu_tensor_to)
+
+    # topk=4: the production default (15) exceeds the B=12 similarity matrix
+    # in the (alpha-0-weighted but still executed) HP forward
+    args = make_loop_args("DHaPH", "DHaPH", tiny_clip_pt, data_dir,
+                          tmp_path / "ref", numclass=NCLASS, alpha=0, topk=4)
+    t, _ = build_ref_full("DHaPH", "DHaPHTrainer", args)
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash)}
+
+    trainer = build_ccmh_trainer("DHaPH", data_dir, tmp_path, clip_params,
+                                 monkeypatch)
+    trainer.cfg.dhaph.topk = args.topk
+    override_params(trainer, heads)
+
+    t.train()
+    trainer.train()
+
+    assert_loops_agree(t, trainer, "DHaPH")
+
+
+# --------------------------------------------------------------------- DScPH
+def test_whole_loop_dscph(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
+                          data_dir):
+    """3 full epochs of the REAL DScPHTrainer loop (CPF proxies in the
+    BertAdam groups + Householder bit-variance quantization) vs the ccmh
+    Trainer with the repair gate ``dscph.train_rot=False``: the reference
+    never optimizes the rotation (hash_train.py:37-44, recorded bug), so
+    reference-faithful dynamics keep it frozen at identity.  CPF's
+    hardcoded `device=1` (hash_train.py:36) is redirected to CPU."""
+    import train.DScPH.hash_train as ht_mod
+
+    real_cpf_cls = ht_mod.CPF
+    monkeypatch.setattr(
+        ht_mod, "CPF",
+        lambda embed_dim, n_classes, device: real_cpf_cls(
+            embed_dim, n_classes, "cpu"))
+
+    args = make_loop_args("DScPH", "DScPH", tiny_clip_pt, data_dir,
+                          tmp_path / "ref", nclass=NCLASS)
+    t, _ = build_ref_full("DScPH", "DScPHTrainer", args)
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash),
+             "loss_heads": {
+                 "cpf": {"weight": jnp.asarray(tnp(t.cpf.weight))},
+                 "rot": {"weights": jnp.asarray(tnp(t.rot.weights))},
+             }}
+
+    trainer = build_ccmh_trainer("DScPH", data_dir, tmp_path, clip_params,
+                                 monkeypatch)
+    trainer.cfg.dscph.train_rot = False
+    override_params(trainer, heads)
+
+    t.train()
+    trainer.train()
+
+    assert_loops_agree(t, trainer, "DScPH")
+
+
+# ---------------------------------------------------------------------- DDBH
+def test_whole_loop_ddbh(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
+                         data_dir):
+    """3 full epochs of the REAL DDBHTrainer loop (3x boundary-point loss +
+    similarity-weighted quantization, train/DDBH/hash_train.py:48-86) vs
+    the ccmh Trainer.  Upstream DDBH is unconstructible as committed — the
+    same two injected-name repairs the trajectory golden documents
+    (loss.py:7 ``DAMHLoss``; model/DDBH.py:15 ``super(MDNpH, ...)``) make
+    the reference class runnable."""
+    import train.DDBH.loss as ddbh_loss_mod
+    import model.DDBH as ddbh_model_mod
+
+    if not hasattr(ddbh_loss_mod, "DAMHLoss"):
+        ddbh_loss_mod.DAMHLoss = ddbh_loss_mod.BPLoss
+    if not hasattr(ddbh_model_mod, "MDNpH"):
+        ddbh_model_mod.MDNpH = ddbh_model_mod.MDDBH
+
+    args = make_loop_args("DDBH", "DDBH", tiny_clip_pt, data_dir,
+                          tmp_path / "ref", numclass=NCLASS)
+    t, _ = build_ref_full("DDBH", "DDBHTrainer", args)
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash)}
+
+    trainer = build_ccmh_trainer("DDBH", data_dir, tmp_path, clip_params,
+                                 monkeypatch)
+    override_params(trainer, heads)
+
+    t.train()
+    trainer.train()
+
+    assert_loops_agree(t, trainer, "DDBH")
