@@ -579,34 +579,28 @@ def test_dpbe_trajectory(tiny_clip_pt, monkeypatch):
 
 
 # --------------------------------------------------------------------- DPSIH
-def test_dpsih_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
-    """8 composed steps of the real DPSIHTrainer (LinearHash + DSIE
-    multi-embed + MSC loss, global grad-clip 2.0 BEFORE BertAdam's
-    per-tensor clip, train/DPSIH/hash_train.py:53-77) vs the ccmh fused
-    step.
+def make_patched_mdpsih(n_embeds, output_dim):
+    """MDPSIH runnable at tiny widths (shared with test_whole_loop).
 
     The reference model is unrunnable as committed: MDPSIH.forward unpacks
     (pooled, tokens) from the base CLIP's encode_image/encode_text, which
     return a single tensor (model/base/model.py:356-372), and hardcodes
     ViT-B/32 token widths (model/DPSIH.py:84).  The tokens tap is supplied
-    here by forward HOOKS on the unmodified towers (post-transformer
-    hidden states — the same tap ccmh's "tokens" feature implements,
+    by forward HOOKS on the unmodified towers (post-transformer hidden
+    states — the same tap ccmh's "tokens" feature implements,
     methods/dpsih.py), and the DSIEs are rebuilt at the tiny widths; the
     trainer, optimizer and loss code run unmodified."""
     import model.DPSIH as mdl
-
-    args = make_ref_args("DPSIH", "DPSIH", tiny_clip_pt, numclass=C)
-    n_embeds = args.num_embeds
-    assert n_embeds == 4  # ccmh methods/dpsih.py NUM_EMBEDS
 
     class PatchedMDPSIH(mdl.MDPSIH):
         def __init__(self, **kw):
             super().__init__(**kw)
             torch.manual_seed(11)
-            self.DSIE_i = mdl.DSIE(n_embeds, TINY.vision_width, K,
+            self.DSIE_i = mdl.DSIE(n_embeds, TINY.vision_width, output_dim,
                                    TINY.vision_width // 2, 0.0)
-            self.DSIE_t = mdl.DSIE(n_embeds, TINY.transformer_width, K,
-                                   TINY.transformer_width // 2, 0.0)
+            self.DSIE_t = mdl.DSIE(n_embeds, TINY.transformer_width,
+                                   output_dim, TINY.transformer_width // 2,
+                                   0.0)
             cap = {}
             self.clip.visual.transformer.register_forward_hook(
                 lambda m, i, o: cap.__setitem__("img", o))
@@ -619,9 +613,32 @@ def test_dpsih_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
             clip.encode_text = lambda tx: (
                 orig_et(tx), cap["txt"].permute(1, 0, 2).float())
 
+    return PatchedMDPSIH
+
+
+def conv_dsie(mod):
+    return {
+        "w1": jnp.asarray(tnp(mod.attention.w_1.weight).T),
+        "w2": jnp.asarray(tnp(mod.attention.w_2.weight).T),
+        "fc": {"w": jnp.asarray(tnp(mod.fc.weight).T),
+               "b": jnp.asarray(tnp(mod.fc.bias))},
+        "ln": {"scale": jnp.asarray(tnp(mod.layer_norm.weight)),
+               "bias": jnp.asarray(tnp(mod.layer_norm.bias))},
+    }
+
+
+def test_dpsih_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
+    """8 composed steps of the real DPSIHTrainer (LinearHash + DSIE
+    multi-embed + MSC loss, global grad-clip 2.0 BEFORE BertAdam's
+    per-tensor clip, train/DPSIH/hash_train.py:53-77) vs the ccmh fused
+    step.  Model patched runnable at tiny widths: make_patched_mdpsih."""
+    args = make_ref_args("DPSIH", "DPSIH", tiny_clip_pt, numclass=C)
+    n_embeds = args.num_embeds
+    assert n_embeds == 4  # ccmh methods/dpsih.py NUM_EMBEDS
+
     import train.DPSIH.hash_train as ht_mod
 
-    monkeypatch.setattr(ht_mod, "MDPSIH", PatchedMDPSIH)
+    monkeypatch.setattr(ht_mod, "MDPSIH", make_patched_mdpsih(n_embeds, K))
 
     batches = make_batches()
     t, _ = build_ref_trainer("DPSIH", "DPSIHTrainer", args,
@@ -632,16 +649,6 @@ def test_dpsih_trajectory(tiny_clip_pt, no_dropout, monkeypatch):
     clip_params, ccfg = convert_state_dict(
         {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
     assert ccfg == TINY
-
-    def conv_dsie(mod):
-        return {
-            "w1": jnp.asarray(tnp(mod.attention.w_1.weight).T),
-            "w2": jnp.asarray(tnp(mod.attention.w_2.weight).T),
-            "fc": {"w": jnp.asarray(tnp(mod.fc.weight).T),
-                   "b": jnp.asarray(tnp(mod.fc.bias))},
-            "ln": {"scale": jnp.asarray(tnp(mod.layer_norm.weight)),
-                   "bias": jnp.asarray(tnp(mod.layer_norm.bias))},
-        }
 
     heads = {"img_head": conv_linear_hash(t.model.image_hash),
              "txt_head": conv_linear_hash(t.model.text_hash),

@@ -49,8 +49,8 @@ if REFERENCE_ROOT not in sys.path:
     sys.path.insert(0, REFERENCE_ROOT)
 
 from tests.test_trajectory import (  # noqa: E402
-    _DummyWriter, conv_linear_hash, make_ref_args, no_dropout, tiny_clip_pt,
-    tnp,
+    _DummyWriter, conv_dsie, conv_linear_hash, make_patched_mdpsih,
+    make_ref_args, no_dropout, tiny_clip_pt, tnp,
 )
 
 TINY = ClipConfig.tiny()
@@ -829,3 +829,98 @@ def test_whole_loop_ddwsh(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
     trainer.train()
 
     assert_loops_agree(t, trainer, "DDWSH")
+
+
+# --------------------------------------------------------------------- DPSIH
+def test_whole_loop_dpsih(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
+                          data_dir):
+    """3 full epochs of the REAL DPSIHTrainer loop vs the ccmh Trainer —
+    the multi-embed eval variant, closing the 13th method in this harness.
+
+    The model runs via the same tiny-width patch as the trajectory golden
+    (make_patched_mdpsih); the trainer/optimizer/loss run unmodified.  The
+    one injected repair is the eval: base.get_code buffers
+    ``[N, output_dim]`` and shape-crashes on DPSIH's ``[B, E, K]``
+    multi-embed codes (train/base.py:130-148), and base.valid's
+    ``calc_map_k`` cannot rank them — while the reference SHIPS the
+    multi-embed mAP oracle in train/DPSIH/_utils.py:5-31 and never wires it
+    in.  The injected ``valid`` buffers sign codes at the full ``[N, E, K]``
+    shape and scores all four directions with that shipped oracle,
+    preserving base.valid's best-epoch tracking verbatim
+    (train/base.py:242-275).  ccmh's production path ranks the same codes
+    through its max-over-embed-pairs dist_fn (methods/dpsih.py:66-77),
+    which is parity-tested against the same oracle in test_ops."""
+    import train.DPSIH._utils as ref_utils
+    import train.DPSIH.hash_train as ht_mod
+
+    args = make_loop_args("DPSIH", "DPSIH", tiny_clip_pt, data_dir,
+                          tmp_path / "ref", numclass=NCLASS)
+    n_embeds = args.num_embeds
+    assert n_embeds == 4  # ccmh methods/dpsih.py NUM_EMBEDS
+    assert args.dropout == 0.0
+
+    monkeypatch.setattr(ht_mod, "MDPSIH", make_patched_mdpsih(n_embeds, K))
+    t, _ = build_ref_full("DPSIH", "DPSIHTrainer", args)
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+
+    def get_code_multi(loader, length):
+        img_buf = torch.empty(length, n_embeds, K)
+        txt_buf = torch.empty(length, n_embeds, K)
+        with torch.no_grad():
+            for image, text, label, index in loader:
+                idx = index.numpy()
+                img_buf[idx] = torch.sign(t.model.encode_image(image).data)
+                txt_buf[idx] = torch.sign(t.model.encode_text(text).data)
+        return img_buf, txt_buf, 0.0
+
+    def valid_multi(epoch):
+        t.change_state(mode="valid")
+        q_i, q_t, _ = get_code_multi(t.query_loader, args.query_num)
+        r_i, r_t, _ = get_code_multi(t.retrieval_loader, args.retrieval_num)
+        mAPi2t = ref_utils.mean_average_precision(
+            q_i, r_t, t.query_labels, t.retrieval_labels)
+        mAPt2i = ref_utils.mean_average_precision(
+            q_t, r_i, t.query_labels, t.retrieval_labels)
+        # best-epoch tracking + save_mat verbatim from train/base.py:262-270
+        # (save_mat also creates save_dir — train() relies on that before
+        # its save_model call, base.py:331)
+        if t.max_mapi2t < mAPi2t:
+            t.best_epoch_i = epoch
+            t.save_mat(q_i, q_t, r_i, r_t, mode_name="i2t")
+        t.max_mapi2t = max(t.max_mapi2t, mAPi2t)
+        if t.max_mapt2i < mAPt2i:
+            t.best_epoch_t = epoch
+            t.save_mat(q_i, q_t, r_i, r_t, mode_name="t2i")
+        t.max_mapt2i = max(t.max_mapt2i, mAPt2i)
+
+    t.valid = valid_multi
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash),
+             "dsie_i": conv_dsie(t.model.DSIE_i),
+             "dsie_t": conv_dsie(t.model.DSIE_t)}
+
+    trainer = build_ccmh_trainer("DPSIH", data_dir, tmp_path, clip_params,
+                                 monkeypatch)
+    override_params(trainer, heads)
+
+    t.train()
+    trainer.train()
+
+    assert_maps_agree(t, trainer, "DPSIH")
+
+    # final codes: reference [N, E, K] vs ccmh flattened [N, E*K]
+    rq_i, rq_t, _ = get_code_multi(t.query_loader, QUERY_NUM)
+    rr_i, rr_t, _ = get_code_multi(t.retrieval_loader, args.retrieval_num)
+    cq_i, cq_t, _ = trainer.get_code(trainer.query_loader, QUERY_NUM)
+    cr_i, cr_t, _ = trainer.get_code(
+        trainer.retrieval_loader, len(trainer.retrieval_data))
+    assert_codes_agree(
+        [("q_img", rq_i.reshape(QUERY_NUM, -1), cq_i),
+         ("q_txt", rq_t.reshape(QUERY_NUM, -1), cq_t),
+         ("r_img", rr_i.reshape(args.retrieval_num, -1), cr_i),
+         ("r_txt", rr_t.reshape(args.retrieval_num, -1), cr_t)], "DPSIH")
