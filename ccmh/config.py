@@ -177,6 +177,14 @@ class DGHDGHConfig:
     lambda5: float = 10.0   # J_ce
     lambda6: float = 10.0   # J_sim
     lambda7: float = 0.3    # J_div
+    # Reference-faithful step sequencing (train/DGHDGH/hash_train.py:75-130
+    # runs THREE backward/step phases per batch: J_m -> model+GNN, λ4·J_cz ->
+    # classifier, J_gen -> GNN again — the GNN takes two Adam steps per batch
+    # and stage 1 sees the post-step GNN/classifier).  Default False = the
+    # fused single-step form (one XLA program, same gradient routing, one
+    # GNN update combining both contributions — docs/dghdgh_reconstruction.md
+    # free choice 5); True = the exact three-phase sequencing.
+    sequenced: bool = False
 
 
 _METHOD_CONFIGS = {

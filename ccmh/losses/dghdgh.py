@@ -179,28 +179,14 @@ def _cdist(a, b):
     return jnp.sqrt(jnp.maximum(a2 + b2.T - 2 * a @ b.T, 1e-12))
 
 
-def dghdgh_loss(
-    rng: jax.Array,
-    embed_i: jax.Array, embed_t: jax.Array, label: jax.Array,
-    gnn_params: Dict, cls_params: Dict,
-    j_r_avg: jax.Array, j_gen_avg: jax.Array,
-    mcfg: DGHDGHConfig,
-) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Fused single-step version of the reference's three backward passes
-    (hash_train.py:75-130); stop_gradients reproduce who-learns-what:
-    J_m updates model+GNN, J_cz the classifier only, J_gen the GNN only.
-    All weights/knobs come from DGHDGHConfig (get_args.py:11-21 defaults)."""
-    alpha, beta, margin = mcfg.alpha, mcfg.beta, mcfg.margin
-    l1, l2, l4, l5, l6, l7 = (mcfg.lambda1, mcfg.lambda2, mcfg.lambda4,
-                              mcfg.lambda5, mcfg.lambda6, mcfg.lambda7)
+def stage2_losses(zi, zt, label, gnn_params, ii_tt, it_ti, j_r_avg,
+                  mcfg: DGHDGHConfig, detach_edges: bool = True):
+    """fwd_stage2 (loss.py:108-174): (J_r, J_gca, J_syn).  ``j_r_avg`` is
+    the epoch-running J_r mean BEFORE this step (hash_train.py:92 updates
+    the meter only after fwd_stage2 returns).  The reference detaches the
+    edge gates before GeneralPulling in stage 2 (loss.py:160-163)."""
+    alpha, margin = mcfg.alpha, mcfg.margin
     sg = jax.lax.stop_gradient
-    zi, zt = l2_normalize(embed_i), l2_normalize(embed_t)
-
-    k1, k2 = jax.random.split(rng)
-    ii_tt = gen_triplets(k1, label)
-    it_ti = gen_triplets(k2, label, cross=True)
-
-    # ---- stage 2: representation losses
     j_r = (triplet_loss(zi, zi, ii_tt, margin) + triplet_loss(zi, zt, it_ti, margin)
            + triplet_loss(zt, zi, it_ti, margin) + triplet_loss(zt, zt, ii_tt, margin)) / 4
 
@@ -212,60 +198,125 @@ def dghdgh_loss(
     }
     j_gca = sum(soft_ce(o.node_preds, label) for o in outs.values()) / 4
 
+    gate = (lambda e: sg(e)) if detach_edges else (lambda e: e)
     syn = {
-        "ii": general_pulling(zi, zi, ii_tt, sg(outs["ii"].edge_reprs), j_r_avg, alpha),
-        "it": general_pulling(zi, zt, it_ti, sg(outs["it"].edge_reprs), j_r_avg, alpha),
-        "ti": general_pulling(zt, zi, it_ti, sg(outs["ti"].edge_reprs), j_r_avg, alpha),
-        "tt": general_pulling(zt, zt, ii_tt, sg(outs["tt"].edge_reprs), j_r_avg, alpha),
+        "ii": general_pulling(zi, zi, ii_tt, gate(outs["ii"].edge_reprs), j_r_avg, alpha),
+        "it": general_pulling(zi, zt, it_ti, gate(outs["it"].edge_reprs), j_r_avg, alpha),
+        "ti": general_pulling(zt, zi, it_ti, gate(outs["ti"].edge_reprs), j_r_avg, alpha),
+        "tt": general_pulling(zt, zt, ii_tt, gate(outs["tt"].edge_reprs), j_r_avg, alpha),
     }
     j_syn = (triplet_loss(zi, zi, ii_tt, margin, neg_embs=syn["ii"], hardness="hard")
              + triplet_loss(zi, zt, it_ti, margin, neg_embs=syn["it"], hardness="hard")
              + triplet_loss(zt, zi, it_ti, margin, neg_embs=syn["ti"], hardness="hard")
              + triplet_loss(zt, zt, ii_tt, margin, neg_embs=syn["tt"], hardness="hard")) / 4
+    return j_r, j_gca, j_syn
 
-    # adaptive λ3 = 1 - exp(-β / J_gen_avg) (hash_train.py:95-101).  The
-    # reference clamps to [0.1, 0.9] and then resets any value NOT exactly
-    # 0.1 or 0.9 back to 0.1 (`if lambda3 not in [0.1, 0.9]: lambda3 =
-    # 0.1`), so the effective schedule is binary: 0.9 when the raw value
-    # reaches the upper clamp, 0.1 otherwise.  Reproduced exactly.
+
+def adaptive_lambda3(j_gen_avg, beta: float):
+    """λ3 = 1 - exp(-β / J_gen_avg) (hash_train.py:95-101).  The reference
+    clamps to [0.1, 0.9] and then resets any value NOT exactly 0.1 or 0.9
+    back to 0.1 (`if lambda3 not in [0.1, 0.9]: lambda3 = 0.1`), so the
+    effective schedule is binary: 0.9 when the raw value reaches the upper
+    clamp, 0.1 otherwise.  Reproduced exactly."""
     x = jnp.where(j_gen_avg == 0, 1e6, j_gen_avg)
-    lam3 = jnp.where(1.0 - jnp.exp(-beta / x) >= 0.9, 0.9, 0.1)
-    j_m = l1 * j_r + l2 * j_gca + sg(lam3) * j_syn
+    return jnp.where(1.0 - jnp.exp(-beta / x) >= 0.9, 0.9, 0.1)
 
-    # ---- classifier step (detached embeddings)
+
+def classifier_ce(cls_params, zi, zt, label):
+    """J_cz (hash_train.py:113-116): CE of the standalone classifier on
+    both (already detached) embeddings."""
     def cls(z):
         return z @ cls_params["w"] + cls_params["b"]
-    j_cz = (soft_ce(cls(sg(zi)), label) + soft_ce(cls(sg(zt)), label)) / 2
+    return (soft_ce(cls(zi), label) + soft_ce(cls(zt), label)) / 2
 
-    # ---- stage 1: GNN losses on detached embeddings
-    zi_d, zt_d = sg(zi), sg(zt)
-    outs_d = {
-        "ii": gnn_forward(gnn_params, zi_d, zi_d),
-        "it": gnn_forward(gnn_params, zi_d, zt_d),
-        "ti": gnn_forward(gnn_params, zt_d, zi_d),
-        "tt": gnn_forward(gnn_params, zt_d, zt_d),
+
+def stage1_losses(zi, zt, label, gnn_params, cls_params, ii_tt, it_ti,
+                  j_r_avg, mcfg: DGHDGHConfig):
+    """fwd_stage1 (loss.py:190-281): (J_ce, J_sim, J_div) on detached
+    embeddings — callers pass zi/zt already stop_gradient'd.  The edge
+    gates are NOT detached here (the GNN learns through GeneralPulling);
+    the classifier weights are (its grads are discarded upstream:
+    optimizer_c.zero_grad() runs before its own step)."""
+    alpha = mcfg.alpha
+    sg = jax.lax.stop_gradient
+    outs = {
+        "ii": gnn_forward(gnn_params, zi, zi),
+        "it": gnn_forward(gnn_params, zi, zt),
+        "ti": gnn_forward(gnn_params, zt, zi),
+        "tt": gnn_forward(gnn_params, zt, zt),
     }
-    syn_d = {
-        "ii": general_pulling(zi_d, zi_d, ii_tt, outs_d["ii"].edge_reprs, j_r_avg, alpha),
-        "it": general_pulling(zi_d, zt_d, it_ti, outs_d["it"].edge_reprs, j_r_avg, alpha),
-        "ti": general_pulling(zt_d, zi_d, it_ti, outs_d["ti"].edge_reprs, j_r_avg, alpha),
-        "tt": general_pulling(zt_d, zt_d, ii_tt, outs_d["tt"].edge_reprs, j_r_avg, alpha),
+    syn = {
+        "ii": general_pulling(zi, zi, ii_tt, outs["ii"].edge_reprs, j_r_avg, alpha),
+        "it": general_pulling(zi, zt, it_ti, outs["it"].edge_reprs, j_r_avg, alpha),
+        "ti": general_pulling(zt, zi, it_ti, outs["ti"].edge_reprs, j_r_avg, alpha),
+        "tt": general_pulling(zt, zt, ii_tt, outs["tt"].edge_reprs, j_r_avg, alpha),
     }
+
+    # triplets from anchors without an eligible positive/negative carry
+    # placeholder indices (gen_triplets' fixed-shape form); their synthetic
+    # embeddings are masked out — they correspond to rows the reference's
+    # ragged triplet set would simply not contain
+    def masked_mean(vals, valid):
+        cnt = jnp.sum(valid)
+        return jnp.where(cnt > 0,
+                         jnp.sum(jnp.where(valid, vals, 0.0)) / jnp.maximum(cnt, 1),
+                         0.0)
+
     j_ce = sum(
-        soft_ce(s @ sg(cls_params["w"]) + sg(cls_params["b"]), label[trip[2].reshape(-1)])
-        for s, trip in ((syn_d["ii"], ii_tt), (syn_d["it"], it_ti),
-                        (syn_d["ti"], it_ti), (syn_d["tt"], ii_tt))
+        masked_mean(jnp.sum(-label[trip[2]] * jax.nn.log_softmax(
+            s @ sg(cls_params["w"]) + sg(cls_params["b"]), -1), -1), trip[3])
+        for s, trip in ((syn["ii"], ii_tt), (syn["it"], it_ti),
+                        (syn["ti"], it_ti), (syn["tt"], ii_tt))
     ) / 4
-    j_sim = (jnp.mean(1 - jnp.sum(l2_normalize(zi_d[ii_tt[0]]) * l2_normalize(syn_d["ii"]), -1))
-             + jnp.mean(1 - jnp.sum(l2_normalize(zi_d[it_ti[0]]) * l2_normalize(syn_d["it"]), -1))
-             + jnp.mean(1 - jnp.sum(l2_normalize(zt_d[it_ti[0]]) * l2_normalize(syn_d["ti"]), -1))
-             + jnp.mean(1 - jnp.sum(l2_normalize(zt_d[ii_tt[0]]) * l2_normalize(syn_d["tt"]), -1))) / 4
+    j_sim = sum(
+        masked_mean(1 - jnp.sum(l2_normalize(z[trip[0]]) * l2_normalize(s), -1), trip[3])
+        for z, s, trip in ((zi, syn["ii"], ii_tt), (zi, syn["it"], it_ti),
+                           (zt, syn["ti"], it_ti), (zt, syn["tt"], ii_tt))
+    ) / 4
 
     def div_term(o):
         e = o.edge_reprs                                       # [B, B, K]
         means = jnp.mean(e, axis=1, keepdims=True)
         return 1.0 - jnp.sqrt(jnp.maximum(jnp.mean(jnp.sum((e - means) ** 2, -1)), 1e-12))
-    j_div = sum(div_term(o) for o in outs_d.values()) / 4
+    j_div = sum(div_term(o) for o in outs.values()) / 4
+    return j_ce, j_sim, j_div
+
+
+def dghdgh_loss(
+    rng: jax.Array,
+    embed_i: jax.Array, embed_t: jax.Array, label: jax.Array,
+    gnn_params: Dict, cls_params: Dict,
+    j_r_avg: jax.Array, j_gen_avg: jax.Array,
+    mcfg: DGHDGHConfig,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Fused single-step version of the reference's three backward passes
+    (hash_train.py:75-130); stop_gradients reproduce who-learns-what:
+    J_m updates model+GNN, J_cz the classifier only, J_gen the GNN only.
+    All weights/knobs come from DGHDGHConfig (get_args.py:11-21 defaults).
+    The exact three-phase sequencing (GNN stepped twice per batch, stage 1
+    run against the post-step GNN/classifier) is available via
+    ``dghdgh.sequenced`` (ccmh/train/methods/dghdgh.py)."""
+    l1, l2, l4, l5, l6, l7 = (mcfg.lambda1, mcfg.lambda2, mcfg.lambda4,
+                              mcfg.lambda5, mcfg.lambda6, mcfg.lambda7)
+    sg = jax.lax.stop_gradient
+    zi, zt = l2_normalize(embed_i), l2_normalize(embed_t)
+
+    k1, k2 = jax.random.split(rng)
+    ii_tt = gen_triplets(k1, label)
+    it_ti = gen_triplets(k2, label, cross=True)
+
+    # ---- stage 2: representation losses
+    j_r, j_gca, j_syn = stage2_losses(zi, zt, label, gnn_params, ii_tt,
+                                      it_ti, j_r_avg, mcfg)
+    lam3 = adaptive_lambda3(j_gen_avg, mcfg.beta)
+    j_m = l1 * j_r + l2 * j_gca + sg(lam3) * j_syn
+
+    # ---- classifier step (detached embeddings)
+    j_cz = classifier_ce(cls_params, sg(zi), sg(zt), label)
+
+    # ---- stage 1: GNN losses on detached embeddings
+    j_ce, j_sim, j_div = stage1_losses(sg(zi), sg(zt), label, gnn_params,
+                                       cls_params, ii_tt, it_ti, j_r_avg, mcfg)
 
     j_gen = l5 * j_ce + l6 * j_sim + l7 * j_div
     loss = j_m + l4 * j_cz + j_gen

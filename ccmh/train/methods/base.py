@@ -46,6 +46,10 @@ class Method:
     # optional global grad-norm clip applied before BertAdam's per-tensor
     # clip (DPSIH: train/DPSIH/hash_train.py:70-71, clip at 2.0)
     grad_clip: float = 0.0
+    # optional (cfg, clip_cfg, tx, extra_tx) -> raw step_fn | None replacing
+    # the generic fused train step (DGHDGH's reference-faithful three-phase
+    # sequencing; returning None keeps the generic step)
+    custom_step: Optional[Callable] = None
 
     def make_loss_fn(self, cfg: Config, clip_cfg: ClipConfig):
         def loss_fn(params, extra, aux, batch, rng):

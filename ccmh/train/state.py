@@ -78,6 +78,7 @@ def make_train_step(
     cfg: Config,
     clip_cfg: ClipConfig,
     jit: bool = True,
+    custom_step=None,
 ):
     """Build the fused train step.
 
@@ -85,7 +86,15 @@ def make_train_step(
     differentiates w.r.t. params and extra jointly; params get BertAdam,
     extra gets the method's own optimizer (mirrors the reference's two
     optimizer.step() calls per batch, e.g. train/DSPH/hash_train.py:66-70).
+
+    ``custom_step`` — a pre-built raw ``(state, batch) -> (state, metrics)``
+    replacing the generic body (Method.custom_step already resolved by the
+    caller); jit/donation handling is shared.
     """
+    if custom_step is not None:
+        if not jit:
+            return custom_step
+        return jax.jit(custom_step, donate_argnums=(0,))
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, step_rng = jax.random.split(state.rng)

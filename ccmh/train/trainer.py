@@ -168,18 +168,21 @@ class Trainer:
             self.load_checkpoint(cfg.pretrained)
 
         loss_fn = self.method.make_loss_fn(cfg, clip_cfg)
+        custom = (self.method.custom_step(cfg, clip_cfg, self.tx, self.extra_tx)
+                  if self.method.custom_step else None)
         self.mesh = None
         if cfg.mesh_shape and cfg.mesh_shape[0] > 1:
             from ccmh.parallel.mesh import make_mesh, data_parallel_train_step, replicate
 
             self.mesh = make_mesh(cfg.mesh_shape[0])
             raw_step = make_train_step(loss_fn, self.tx, self.extra_tx, cfg,
-                                       clip_cfg, jit=False)
+                                       clip_cfg, jit=False, custom_step=custom)
             self.train_step = data_parallel_train_step(raw_step, self.mesh)
             self.state = replicate(self.mesh, self.state)
             self.logger.info(f"data-parallel mesh over {cfg.mesh_shape[0]} devices")
         else:
-            self.train_step = make_train_step(loss_fn, self.tx, self.extra_tx, cfg, clip_cfg)
+            self.train_step = make_train_step(loss_fn, self.tx, self.extra_tx,
+                                              cfg, clip_cfg, custom_step=custom)
         self.encode_step = self.method.make_encode_fn(cfg, clip_cfg)
         self.eval_dist_fn = self.method.dist_fn(cfg) if self.method.dist_fn else None
         self.multi_encode_step = None

@@ -924,3 +924,136 @@ def test_whole_loop_dpsih(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
          ("q_txt", rq_t.reshape(QUERY_NUM, -1), cq_t),
          ("r_img", rr_i.reshape(args.retrieval_num, -1), cr_i),
          ("r_txt", rr_t.reshape(args.retrieval_num, -1), cr_t)], "DPSIH")
+
+
+# -------------------------------------------------------------------- DGHDGH
+def test_whole_loop_dghdgh(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
+                           data_dir):
+    """3 full epochs of the REAL DGHDGHTrainer loop (GNN-synthesized hard
+    negatives, three backward/step phases per batch with the adaptive-λ3
+    quirk, train/DGHDGH/hash_train.py:65-137) vs the ccmh Trainer in its
+    reference-faithful ``dghdgh.sequenced`` mode — the 14th and last method
+    in the whole-loop matrix.
+
+    Upstream DGHDGH is unrunnable as committed: loss.py:10-12 imports three
+    modules absent from the snapshot, get_args.py reads undefined
+    ``optuna_trail``/``noise_rate``, and hash_train.py needs timm /
+    torch_scatter / ``model.modelbase.BaseBackbone`` /
+    ``model.clip.optimization`` — none present.  Injected repairs
+    (tests/dghdgh_mirror.py): torch builds of the ccmh reconstruction for
+    the three missing modules — so BOTH frameworks run the SAME
+    reconstruction while all SURVIVING reference code (PaperLoss.fwd_stage1/
+    fwd_stage2/triplet_loss, GeneralPulling, the three-optimizer
+    train_epoch, TrainBase.run/valid) executes for real — plus faithful
+    shims for the missing deps and a Baseclip-backed BaseBackbone.  Triplet
+    mining (the missing ``gen_triplets``) is pinned to the same
+    deterministic cyclic draw on both sides; anchors without an eligible
+    positive/negative drop (torch, ragged) / mask (jax, fixed shape)
+    identically."""
+    import types
+
+    import ccmh.losses.dghdgh as ccmh_dghdgh
+    from ccmh.config import DGHDGHConfig
+    from tests import dghdgh_mirror as mir
+
+    # ---- missing third-party deps (hash_train.py:7, loss.py:8)
+    if "torch_scatter" not in sys.modules or not callable(
+            getattr(sys.modules.get("torch_scatter"), "scatter_mean", None)):
+        ts = types.ModuleType("torch_scatter")
+        ts.scatter_mean = mir.scatter_mean
+        monkeypatch.setitem(sys.modules, "torch_scatter", ts)
+    else:
+        monkeypatch.setattr(sys.modules["torch_scatter"], "scatter_mean",
+                            mir.scatter_mean)
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        timm_utils = types.ModuleType("timm.utils")
+        timm_utils.AverageMeter = mir.AverageMeter
+        timm.utils = timm_utils
+        monkeypatch.setitem(sys.modules, "timm", timm)
+        monkeypatch.setitem(sys.modules, "timm.utils", timm_utils)
+
+    # ---- missing reference symbols (hash_train.py:13-15)
+    import model.base.optimization as ref_opt
+    import model.modelbase as ref_mb
+
+    clip_pkg = types.ModuleType("model.clip")
+    opt_alias = types.ModuleType("model.clip.optimization")
+    opt_alias.BertAdam = ref_opt.BertAdam
+    clip_pkg.optimization = opt_alias
+    monkeypatch.setitem(sys.modules, "model.clip", clip_pkg)
+    monkeypatch.setitem(sys.modules, "model.clip.optimization", opt_alias)
+
+    class BaseBackbone(ref_mb.Baseclip):
+        """hash_train.py:36-38's missing model: Baseclip's CLIP +
+        LinearHash heads behind the (outputDim, backbone, preload, ...)
+        signature; ``.backbone`` aliases the CLIP tower for the optimizer
+        group at hash_train.py:48."""
+
+        def __init__(self, outputDim, backbone="clip", preload="",
+                     writer=None, logger=None, is_train=True):
+            assert backbone == "clip"
+            super().__init__(outputDim=outputDim, clipPath=preload,
+                             writer=writer, logger=logger, is_train=is_train)
+
+        @property
+        def backbone(self):
+            return self.clip
+
+    monkeypatch.setattr(ref_mb, "BaseBackbone", BaseBackbone, raising=False)
+
+    # ---- the three missing modules (loss.py:10-12); also rebind the loss
+    # module's globals in case test_dghdgh_loss already imported it with
+    # placeholder stubs
+    for name, sym, obj in (("train.DGHDGH.gnn", "GNNDecoder", mir.GNNDecoder),
+                           ("train.DGHDGH.graph_generator", "GraphGenerator",
+                            mir.GraphGenerator)):
+        mod = sys.modules.get(name) or types.ModuleType(name)
+        setattr(mod, sym, obj)
+        monkeypatch.setitem(sys.modules, name, mod)
+    import utils.utils as ref_utils_mod
+
+    monkeypatch.setattr(ref_utils_mod, "gen_triplets", mir.gen_triplets,
+                        raising=False)
+    ref_loss = importlib.import_module("train.DGHDGH.loss")
+    monkeypatch.setattr(ref_loss, "GNNDecoder", mir.GNNDecoder)
+    monkeypatch.setattr(ref_loss, "GraphGenerator", mir.GraphGenerator)
+    monkeypatch.setattr(ref_loss, "gen_triplets", mir.gen_triplets)
+
+    # ---- get_args repairs: undefined optuna_trail/noise_rate reads
+    import train.DGHDGH.get_args as ga_mod
+
+    orig_ga = ga_mod.get_args
+
+    def patched_ga(main_args):
+        main_args.optuna_trail = False
+        main_args.noise_rate = 0
+        return orig_ga(main_args)
+
+    monkeypatch.setattr(ga_mod, "get_args", patched_ga)
+
+    args = make_loop_args("DGHDGH", "DGHDGH", tiny_clip_pt, data_dir,
+                          tmp_path / "ref", nclass=NCLASS, backbone="clip",
+                          preload=str(tiny_clip_pt))
+    t, _ = build_ref_full("DGHDGH", "DGHDGHTrainer", args)
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash)}
+    extra = {"gnn": mir.conv_gnn(t.criterion.gnn),
+             "classifier": mir.conv_classifier(t.criterion.softmax_classifier)}
+
+    monkeypatch.setattr(ccmh_dghdgh, "gen_triplets", mir.det_gen_triplets_jnp)
+    trainer = build_ccmh_trainer("DGHDGH", data_dir, tmp_path, clip_params,
+                                 monkeypatch,
+                                 dghdgh=DGHDGHConfig(sequenced=True))
+    override_params(trainer, heads, extra=extra)
+
+    t.train()
+    trainer.train()
+
+    assert_loops_agree(t, trainer, "DGHDGH")
