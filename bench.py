@@ -415,6 +415,19 @@ def main():
                 log(f"1M-gallery Hamming ranking [K={k}, {name}]: {dt * 1e3:.1f} ms "
                     f"for {q_n} queries -> {q_n / dt:,.0f} queries/s")
 
+        # serving path: top-100 retrieval over the 1M gallery (stable
+        # tie-broken ranking, ccmh/retrieval.py — the int8-MXU index)
+        from ccmh.retrieval import topk_search
+
+        q_np, r_np = np.asarray(qB), np.asarray(rB)
+        topk_search(q_np, r_np, 100)  # compile
+        t0 = time.time()
+        for _ in range(3):
+            d_k, i_k = topk_search(q_np, r_np, 100)
+        dt = (time.time() - t0) / 3
+        log(f"1M-gallery top-100 retrieval (K=64, int8-MXU index): "
+            f"{dt * 1e3:.1f} ms for {q_n} queries -> {q_n / dt:,.0f} queries/s")
+
         # full expected-tie mAP at the 1M scale (64-bit, 512 queries)
         qL = jnp.asarray((rng.rand(q_n, 80) < 0.1).astype(np.float32))
         rL = jnp.asarray((rng.rand(n_gal, 80) < 0.1).astype(np.float32))

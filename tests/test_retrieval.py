@@ -1,0 +1,234 @@
+"""Top-k retrieval serving layer (ccmh/retrieval.py).
+
+The reference has no search entry point (train/base.py stops at mAP +
+.mat dumps); these tests pin the new capability: brute-force parity with
+deterministic tie-breaking, packed/sharded path equivalence, XLA
+dead-code-eliminated single-tower encoders, and the .mat demo CLI.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccmh.clip.model import ClipConfig, init_clip_params
+from ccmh.config import Config
+from ccmh.parallel.mesh import make_mesh
+from ccmh.retrieval import HashIndex, Retriever, topk_search, topk_search_sharded
+from ccmh.train.methods import get_method
+
+TINY = ClipConfig.tiny()
+
+
+def brute_force(q, g, k):
+    """Stable numpy oracle: ascending distance, ties by gallery index."""
+    kk = q.shape[1]
+    d = (kk - q.astype(np.int32) @ g.T.astype(np.int32)) // 2
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, idx, 1), idx
+
+
+def random_codes(n, k, seed, with_ties=True):
+    rng = np.random.default_rng(seed)
+    g = np.where(rng.standard_normal((n, k)) > 0, 1, -1).astype(np.int8)
+    if with_ties and n > 120:
+        g[5] = g[17]
+        g[100] = g[17]   # duplicate rows force distance ties
+    return g
+
+
+def test_topk_matches_bruteforce():
+    g = random_codes(500, 16, 0)
+    q = random_codes(37, 16, 1, with_ties=False)
+    q[0] = g[17]  # exact-duplicate query: three tied zero-distance rows
+    bd, bi = brute_force(q, g, 10)
+    d, i = topk_search(q, g, 10)
+    np.testing.assert_array_equal(d, bd)
+    np.testing.assert_array_equal(i, bi)
+
+
+def test_topk_k_clamped_and_small_gallery():
+    g = random_codes(6, 32, 2, with_ties=False)
+    q = random_codes(3, 32, 3, with_ties=False)
+    d, i = topk_search(q, g, 50)       # k > N clamps to N
+    assert d.shape == (3, 6) and i.shape == (3, 6)
+    bd, bi = brute_force(q, g, 6)
+    np.testing.assert_array_equal(i, bi)
+
+
+def test_topk_packed_matches_int8():
+    g = random_codes(300, 64, 4)
+    q = random_codes(29, 64, 5, with_ties=False)
+    bd, bi = brute_force(q, g, 7)
+    idx = HashIndex(g, packed=True)
+    d, i = idx.search(q, 7)
+    np.testing.assert_array_equal(d, bd)
+    np.testing.assert_array_equal(i, bi)
+
+
+def test_topk_sharded_matches_single():
+    """Gallery axis over the 8-device mesh; N not divisible by 8 exercises
+    the padding sentinel (pad rows must never appear in results)."""
+    mesh = make_mesh(8)
+    g = random_codes(501, 16, 6)
+    q = random_codes(37, 16, 7, with_ties=False)
+    q[3] = g[100]
+    bd, bi = brute_force(q, g, 12)
+    d, i = topk_search_sharded(q, g, 12, mesh)
+    np.testing.assert_array_equal(d, bd)
+    np.testing.assert_array_equal(i, bi)
+    # packed + sharded through the index wrapper
+    idx = HashIndex(g, packed=True, mesh=mesh)
+    d2, i2 = idx.search(q, 12)
+    np.testing.assert_array_equal(d2, bd)
+    np.testing.assert_array_equal(i2, bi)
+
+
+def test_custom_dist_fn_search():
+    """DPSIH-style ranking: dist_fn replaces Hamming (multi-embed max-sim,
+    train/DPSIH/_utils.py:16-26)."""
+    from ccmh.train.methods.dpsih import make_dist_fn
+
+    k_dim, n_embed = 16, 2
+    g = random_codes(120, k_dim * n_embed, 8, with_ties=False)
+    q = random_codes(9, k_dim * n_embed, 9, with_ties=False)
+    dfn = make_dist_fn(k_dim)
+    d_full = np.asarray(dfn(jnp.asarray(q, jnp.float32), jnp.asarray(g, jnp.float32)))
+    idx_ref = np.argsort(d_full, axis=1, kind="stable")[:, :5]
+    idx = HashIndex(g, dist_fn=dfn, max_dist=k_dim)
+    d, i = idx.search(q, 5)
+    np.testing.assert_array_equal(i, idx_ref)
+    np.testing.assert_array_equal(d, np.take_along_axis(d_full, idx_ref, 1))
+
+
+def test_precision_at_k():
+    g = random_codes(200, 16, 10)
+    labels = np.zeros((200, 4), np.float32)
+    labels[:, 0] = 1.0  # every gallery item shares label 0
+    ql = np.zeros((5, 4), np.float32)
+    ql[:, 0] = 1.0
+    idx = HashIndex(g, labels=labels)
+    assert idx.precision_at_k(random_codes(5, 16, 11, with_ties=False), ql, 10) == 1.0
+    ql2 = np.zeros((5, 4), np.float32)
+    ql2[:, 1] = 1.0     # no gallery item has label 1
+    assert idx.precision_at_k(random_codes(5, 16, 11, with_ties=False), ql2, 10) == 0.0
+
+
+def _build_retriever(method_name="DSPH", output_dim=16):
+    cfg = Config(method=method_name, output_dim=output_dim, nclass=8,
+                 batch_size=8, epochs=1, resolution=TINY.image_resolution,
+                 train_num=16)
+    method = get_method(method_name)
+    key = jax.random.PRNGKey(0)
+    heads, extra, aux = method.init(key, cfg, TINY)
+    params = {"clip": init_clip_params(key, TINY), **heads}
+    return Retriever(method, params, aux, cfg, TINY), method, params, aux, cfg
+
+
+def _demo_ids(n):
+    return np.tile(np.asarray([[49406] + [320] * 5 + [49407] + [0] * 25],
+                              np.int32), (n, 1))
+
+
+def test_retriever_single_tower_matches_joint_encode():
+    r, method, params, aux, cfg = _build_retriever()
+    rng = np.random.RandomState(0)
+    ids = _demo_ids(5)
+    imgs = rng.randn(5, TINY.image_resolution, TINY.image_resolution, 3).astype(np.float32)
+    batch = {"image": jnp.asarray(imgs), "text": jnp.asarray(ids)}
+    joint_img, joint_txt = method.encode(params, aux, batch, cfg, TINY)
+    np.testing.assert_array_equal(r.encode_texts(ids), np.asarray(joint_txt))
+    np.testing.assert_array_equal(r.encode_images(imgs), np.asarray(joint_img))
+
+
+def test_retriever_dead_code_eliminates_other_tower():
+    """The single-tower wrappers must compile WITHOUT the unused tower:
+    each one's flop count is strictly below the joint encode's, and the
+    two together add up to roughly the joint (the towers partition it)."""
+    r, method, params, aux, cfg = _build_retriever()
+    ids = jnp.asarray(_demo_ids(5))
+    imgs = jnp.zeros((5, TINY.image_resolution, TINY.image_resolution, 3), jnp.float32)
+
+    def joint(p, a, im, i):
+        return method.encode(p, a, {"image": im, "text": i}, cfg, TINY)
+
+    f_joint = jax.jit(joint).lower(params, aux, imgs, ids).compile().cost_analysis()["flops"]
+    f_text = r._text_codes.lower(params, aux, ids).compile().cost_analysis()["flops"]
+    f_image = r._image_codes.lower(params, aux, imgs).compile().cost_analysis()["flops"]
+    assert f_text < 0.95 * f_joint
+    assert f_image < 0.95 * f_joint
+    assert f_text + f_image <= 1.05 * f_joint
+
+
+def test_retriever_chunked_encode_padding():
+    """Ragged final encode chunk: padding rows must not leak into output."""
+    r, _, _, _, _ = _build_retriever()
+    ids = _demo_ids(7)
+    a = r.encode_texts(ids, batch_size=4)
+    b = r.encode_texts(ids, batch_size=7)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_retriever_e2e_search_with_mask_method():
+    """MITH (needs_mask): key_padding_mask is derived inside the wrapper."""
+    r, _, _, _, _ = _build_retriever("MITH")
+    rng = np.random.RandomState(1)
+    imgs = rng.randn(6, TINY.image_resolution, TINY.image_resolution, 3).astype(np.float32)
+    index = r.build_image_index(images=imgs)
+    d, i = r.search_text2image(_demo_ids(3), index, k=4)
+    assert d.shape == (3, 4) and i.shape == (3, 4)
+    assert (i >= 0).all() and (i < 6).all()
+
+
+def test_retriever_dist_fn_method_index():
+    """DPSIH: the index inherits the method's multi-embed dist_fn."""
+    r, _, _, _, cfg = _build_retriever("DPSIH")
+    rng = np.random.RandomState(2)
+    imgs = rng.randn(6, TINY.image_resolution, TINY.image_resolution, 3).astype(np.float32)
+    index = r.build_image_index(images=imgs)
+    assert index.dist_fn is not None
+    codes = r.encode_images(imgs)
+    assert codes.shape[1] > cfg.output_dim  # flattened multi-embed
+    d, i = r.search_text2image(_demo_ids(3), index, k=2)
+    assert d.shape == (3, 2)
+
+
+def test_hash_index_from_mat_and_demo_cli(tmp_path):
+    import scipy.io as scio
+
+    from ccmh.retrieval import _demo
+
+    g_img = random_codes(80, 16, 12)
+    q_txt = random_codes(10, 16, 13, with_ties=False)
+    labels = (np.random.RandomState(3).rand(80, 4) > 0.5).astype(np.float64)
+    ql = (np.random.RandomState(4).rand(10, 4) > 0.5).astype(np.float64)
+    path = os.path.join(str(tmp_path), "16-ours-synthetic-i2t.mat")
+    scio.savemat(path, {
+        "q_img": q_txt.astype(np.float64), "q_txt": q_txt.astype(np.float64),
+        "r_img": g_img.astype(np.float64), "r_txt": g_img.astype(np.float64),
+        "q_l": ql, "r_l": labels,
+    })
+    idx = HashIndex.from_mat(path)
+    assert len(idx) == 80 and idx.labels is not None
+    d, i = idx.search(q_txt, 5)
+    bd, bi = brute_force(q_txt, g_img, 5)
+    np.testing.assert_array_equal(i, bi)
+    assert _demo([path, "--topk", "3", "--queries", "2"]) == 0
+
+
+def test_index_validation_errors():
+    g = random_codes(10, 16, 14, with_ties=False)
+    with pytest.raises(ValueError):
+        HashIndex(g[0])                       # not 2-D
+    with pytest.raises(ValueError):
+        HashIndex(g, labels=np.zeros((3, 2)))  # row mismatch
+    with pytest.raises(ValueError):
+        HashIndex(g, packed=True, dist_fn=lambda a, b: a)
+    with pytest.raises(ValueError):
+        topk_search(g, g, 3, dist_fn=lambda a, b: a)  # max_dist required
+    idx = HashIndex(g)
+    with pytest.raises(ValueError):
+        idx.precision_at_k(g, np.zeros((10, 2)), 3)   # no labels
