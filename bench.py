@@ -463,14 +463,16 @@ def main():
     # per-method train-step sweep LAST, one SUBPROCESS each: HBM held by a
     # previous method's executables is not reliably released in-process on
     # the relay-attached chip, and an OOM in one heavy method must not
-    # poison anything else.  MITH runs with remat — its token pipeline at
-    # B=256 exceeds 16 GB HBM holding all 12 layers' activations
-    # (train/MITH/hash_train.py:62-200 is the heaviest reference step).
+    # poison anything else.  MITH (the heaviest reference step,
+    # train/MITH/hash_train.py:62-200) is tried WITHOUT remat first —
+    # since the full scan unroll + head-stacked attention bwd its B=256
+    # token pipeline fits 16 GB again (measured 99.3 ms vs 104.9 "dots" /
+    # 115.1 full remat) — falling back to remat if HBM conditions differ.
     import subprocess
 
-    for name in ("MITH", "DPBE", "DGHDGH", "DHaPH"):
+    def _run_step_bench(name, remat):
         cmd = [sys.executable, __file__, "--step", name]
-        if name == "MITH":
+        if remat:
             cmd.append("--remat")
         if dsph_ms is not None:
             cmd += ["--dsph-ms", f"{dsph_ms:.1f}"]
@@ -478,16 +480,25 @@ def main():
             # 45 min: MITH's remat compile through the relay has been
             # observed anywhere from 4 to >25 minutes
             r = subprocess.run(cmd, capture_output=True, text=True, timeout=2700)
-            forwarded = False
-            for line in r.stderr.splitlines():
-                if line.startswith(("train step", "train-step bench failed")):
-                    log(line)
-                    forwarded = True
-            if not forwarded:
-                log(f"train-step bench failed [{name}]: exit {r.returncode}: "
-                    f"{r.stderr[-300:]}")
         except subprocess.TimeoutExpired:
             log(f"train-step bench failed [{name}]: subprocess timeout")
+            return False
+        ok = False
+        for line in r.stderr.splitlines():
+            if line.startswith("train step"):
+                log(line)
+                ok = True
+            elif line.startswith("train-step bench failed") and not ok:
+                log(line)
+        if not ok and r.returncode != 0:
+            log(f"train-step bench failed [{name}]: exit {r.returncode}: "
+                f"{r.stderr[-300:]}")
+        return ok
+
+    for name in ("MITH", "DPBE", "DGHDGH", "DHaPH"):
+        if not _run_step_bench(name, remat=False) and name == "MITH":
+            log("MITH retry with --remat (no-remat failed; likely HBM)")
+            _run_step_bench(name, remat=True)
 
 
 

@@ -95,7 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="rematerialize tower activations in the backward "
                              "pass (~1 extra forward of FLOPs for ~12x less "
                              "activation HBM; lets memory-heavy methods like "
-                             "MITH run large batches on one chip)")
+                             "MITH run large batches on one chip; see also "
+                             "--set remat_policy=dots to keep matmul outputs "
+                             "saved and recompute only the cheap ops)")
     parser.add_argument("--checkpoint-every", type=int, default=defaults.checkpoint_every)
     parser.add_argument("--resume", action="store_true", default=defaults.resume,
                         help="auto-resume full training state from save_dir/state_ckpt")
@@ -159,8 +161,12 @@ def config_from_args(argv=None) -> Config:
     )
     for override in args.set:
         key, _, raw = override.partition("=")
-        section, _, field = key.partition(".")
-        sub = getattr(cfg, section)
+        section, dot, field = key.partition(".")
+        # "--set dsph.alpha=0.5" targets a method section; a dotless key
+        # ("--set remat_policy=dots") targets the top-level config
+        sub = getattr(cfg, section) if dot else cfg
+        if not dot:
+            field = section
         current = getattr(sub, field)
         typ = type(current) if current is not None else str
         value = raw == "True" if typ is bool else typ(raw)

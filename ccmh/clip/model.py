@@ -246,12 +246,17 @@ def transformer(
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Run all blocks via lax.scan over the stacked layer parameters.
 
-    ``remat=True`` wraps each block in ``jax.checkpoint``: the backward pass
-    recomputes block activations instead of holding all L layers' [B, L, 4W]
-    intermediates in HBM — ~1 extra forward of FLOPs for ~L x less
-    activation memory.  Off by default (the plain towers fit comfortably);
-    methods whose step carries large extra state (MITH's token pipeline at
-    B=256 overflows a 16 GB chip without it) enable it via ``cfg.remat``.
+    ``remat=True`` (or ``"full"``) wraps each block in ``jax.checkpoint``:
+    the backward pass recomputes block activations instead of holding all
+    L layers' [B, L, 4W] intermediates in HBM — ~1 extra forward of FLOPs
+    for ~L x less activation memory.  ``remat="dots"`` uses the
+    ``dots_with_no_batch_dims_saveable`` policy instead: matmul outputs
+    stay saved (no MXU recompute in bwd), only elementwise/norm/attention
+    internals recompute — a middle point that costs ~2x the activation
+    memory of full remat but removes most of its recompute time.  Off by
+    default (the plain towers fit comfortably); methods whose step carries
+    large extra state (MITH's token pipeline at B=256 overflows a 16 GB
+    chip without it) enable it via ``cfg.remat`` (+ ``cfg.remat_policy``).
 
     ``unroll``: lax.scan unroll factor; -1/0 or >= n_layers unrolls fully,
     eliminating the while-loop and the dynamic_update_slice stacking of
@@ -266,7 +271,11 @@ def transformer(
     def block_fn(carry, layer_params):
         return _block(carry, layer_params, n_head, attn_bias)[0]
 
-    if remat:
+    if remat == "dots":
+        block_fn = jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif remat:
         block_fn = jax.checkpoint(block_fn)
 
     def body(carry, layer_params):

@@ -250,6 +250,7 @@ class Config:
 
     # TPU-specific
     remat: bool = False                   # recompute tower activations in bwd
+    remat_policy: str = "full"            # "full" | "dots" (save matmul outs)
     # lax.scan unroll over the transformer blocks: -1/0 = full unroll (no
     # while-loop, no dynamic_update_slice stacking of activation saves in
     # the backward).  Default FULL: measured 103.1 -> 78.1 ms on the B=256

@@ -152,6 +152,9 @@ def clip_embeds(
     if dtype is None:
         dtype = resolve_compute_dtype(cfg)
     remat = bool(getattr(cfg, "remat", False))
+    if remat:
+        # "full" (default) or "dots" (keep matmul outputs, recompute the rest)
+        remat = getattr(cfg, "remat_policy", "full")
     unroll = int(getattr(cfg, "scan_unroll", 0))
     img = vision_forward(params["clip"]["visual"], clip_cfg, batch["image"],
                          dtype=dtype, features=features, remat=remat,

@@ -16,12 +16,14 @@ def test_config_from_args(tmp_path):
         "--method", "DSPH", "--dataset", "coco", "--output-dim", "32",
         "--save-dir", str(tmp_path), "--epochs", "3",
         "--set", "dsph.alpha=0.5",
+        "--set", "remat_policy=dots",   # dotless key = top-level field
     ])
     assert cfg.method == "DSPH"
     assert cfg.output_dim == 32
     assert cfg.nclass == 80           # coco class count auto-filled
     assert cfg.epochs == 3
     assert cfg.dsph.alpha == 0.5
+    assert cfg.remat_policy == "dots"
     assert cfg.save_dir == os.path.join(str(tmp_path), "DSPH", "coco", "32")
 
 

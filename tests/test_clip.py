@@ -204,8 +204,12 @@ def test_zoo_surface(tmp_path):
 
 
 @pytest.mark.slow
-def test_remat_is_numerically_transparent():
-    """remat=True (jax.checkpoint over the scanned blocks) changes memory
+@pytest.mark.parametrize("mode", [True, "dots"])
+def test_remat_is_numerically_transparent(mode):
+    """remat=True ("full" jax.checkpoint over the scanned blocks) and
+    remat="dots" (dots_with_no_batch_dims_saveable policy: matmul outputs
+    stay saved, only elementwise/attention internals recompute — measured
+    117 -> 105 ms on the MITH B=256 step) change memory/recompute
     behaviour only: the forward value is bit-identical, and parameter
     gradients agree to a couple of ULPs.  (Exact gradient equality is not
     guaranteed: remat recomputes activations inside the *backward* XLA
@@ -230,7 +234,7 @@ def test_remat_is_numerically_transparent():
         return jnp.sum(a * a) + jnp.sum(b * b)
 
     v0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
-    v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, mode))(params)
     assert float(v0) == float(v1)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(
