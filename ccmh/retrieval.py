@@ -371,6 +371,45 @@ class Retriever:
         return cls(trainer.method, trainer.state.params, trainer.state.aux,
                    trainer.cfg, trainer.clip_cfg)
 
+    @classmethod
+    def from_pretrained(cls, cfg, clip_cfg=None) -> "Retriever":
+        """Dataset-free serving construction: build the method's parameter
+        skeleton and restore ``cfg.pretrained`` into it (any checkpoint
+        form — reference ``.pth``, orbax ``state_ckpt`` dir, or ``.npz``).
+        Unlike Trainer, no dataset/loaders are required — this is the
+        deployment entry point.
+
+        ``clip_cfg`` is only consulted when ``cfg.clip_path`` is empty
+        (e.g. ClipConfig.tiny() in tests); otherwise the converted
+        checkpoint decides the architecture.
+        """
+        from ccmh.clip.model import ClipConfig, init_clip_params
+        from ccmh.clip.convert import load_clip_params
+        from ccmh.train.methods import get_method
+        from ccmh.train.state import init_state, make_main_optimizer
+        from ccmh.train.trainer import restore_state
+
+        if not cfg.pretrained:
+            raise ValueError("from_pretrained requires cfg.pretrained")
+        method = get_method(cfg.method)
+        rng = jax.random.PRNGKey(cfg.seed)
+        if cfg.clip_path:
+            clip_params, clip_cfg = load_clip_params(cfg.clip_path)
+        else:
+            clip_cfg = clip_cfg or ClipConfig()
+            clip_params = init_clip_params(rng, clip_cfg)
+        k_head, k_state = jax.random.split(jax.random.fold_in(rng, 1))
+        heads, extra, aux = method.init(k_head, cfg, clip_cfg)
+        params = {"clip": clip_params, **heads}
+        # real optimizer transforms so the state SKELETON matches training
+        # checkpoints (the orbax branch restores into the same structure);
+        # the schedule horizon is irrelevant — serving never steps
+        tx = make_main_optimizer(cfg, params, steps_per_epoch=1)
+        extra_tx = method.extra_tx(cfg) if method.extra_tx else None
+        state = init_state(k_state, params, extra, aux, tx, extra_tx)
+        state = restore_state(cfg.pretrained, state, cfg.method, clip_cfg)
+        return cls(method, state.params, state.aux, cfg, clip_cfg)
+
     # ------------------------------------------------------------- encoding
     def _chunked(self, fn, arr, batch_size: int) -> np.ndarray:
         out = []

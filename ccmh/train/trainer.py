@@ -508,45 +508,52 @@ class Trainer:
         self.logger.info(f"save model to {path}")
 
     def load_checkpoint(self, path: str):
-        if path.endswith(".pth"):
-            # a reference trainer model-<epoch>.pth (train/base.py:225-227):
-            # import its CLIP tower + heads so reference-trained models can
-            # be evaluated here (clip/import_ref.py)
-            from ccmh.clip.import_ref import import_reference_pth
+        self.state = restore_state(path, self.state, self.cfg.method,
+                                   self.clip_cfg, log=self.logger.info)
 
-            params, ref_cfg, aux_updates = import_reference_pth(
-                path, self.cfg.method)
-            if ref_cfg != self.clip_cfg:
-                raise ValueError(
-                    f"checkpoint {path} holds a {ref_cfg} tower but this run "
-                    f"is configured for {self.clip_cfg}; point --clip-path at "
-                    f"the matching architecture")
-            import jax.numpy as _jnp
 
-            aux = self.state.aux
-            if aux_updates:  # e.g. TwDH's BatchNorm running statistics
-                aux = dict(aux)
-                aux.update(jax.tree.map(_jnp.asarray, aux_updates))
-            self.state = self.state._replace(
-                params=jax.tree.map(_jnp.asarray, params), aux=aux)
-            self.logger.info(f"imported reference checkpoint {path}")
-            return
-        if os.path.isdir(path):
-            # --pretrained pointed at an orbax state_ckpt dir: restore the
-            # full state's weights (a natural thing to try after --resume
-            # runs; the npz branch stays the cross-run interchange format)
-            from ccmh.train.checkpoint import load_state
+def restore_state(path: str, state, method_name: str, clip_cfg,
+                  log=lambda msg: None):
+    """Restore weights into ``state`` from any supported checkpoint form:
+    a reference trainer ``model-<epoch>.pth`` (train/base.py:225-227, via
+    clip/import_ref.py), an orbax ``state_ckpt`` dir, or the .npz
+    interchange format.  Shared by Trainer.load_checkpoint and the
+    dataset-free serving path (retrieval.Retriever.from_pretrained)."""
+    if path.endswith(".pth"):
+        # a reference trainer model-<epoch>.pth: import its CLIP tower +
+        # heads so reference-trained models can be evaluated/served here
+        from ccmh.clip.import_ref import import_reference_pth
 
-            state, _, _ = load_state(path, self.state)
-            self.state = state
-            self.logger.info(f"loaded full-state checkpoint {path}")
-            return
-        with np.load(path, allow_pickle=False) as data:
-            tree = _unflatten({k: data[k] for k in data.files})
-        self.state = self.state._replace(
-            params=tree["params"],
-            extra=tree.get("extra") or self.state.extra,
-            aux=tree.get("aux", self.state.aux),
-            step=jnp.asarray(tree.get("step", 0)),
-        )
-        self.logger.info(f"loaded checkpoint {path}")
+        params, ref_cfg, aux_updates = import_reference_pth(path, method_name)
+        if ref_cfg != clip_cfg:
+            raise ValueError(
+                f"checkpoint {path} holds a {ref_cfg} tower but this run "
+                f"is configured for {clip_cfg}; point --clip-path at "
+                f"the matching architecture")
+        aux = state.aux
+        if aux_updates:  # e.g. TwDH's BatchNorm running statistics
+            aux = dict(aux)
+            aux.update(jax.tree.map(jnp.asarray, aux_updates))
+        state = state._replace(
+            params=jax.tree.map(jnp.asarray, params), aux=aux)
+        log(f"imported reference checkpoint {path}")
+        return state
+    if os.path.isdir(path):
+        # an orbax state_ckpt dir: restore the full state's weights (a
+        # natural thing to try after --resume runs; the npz branch stays
+        # the cross-run interchange format)
+        from ccmh.train.checkpoint import load_state
+
+        state, _, _ = load_state(path, state)
+        log(f"loaded full-state checkpoint {path}")
+        return state
+    with np.load(path, allow_pickle=False) as data:
+        tree = _unflatten({k: data[k] for k in data.files})
+    state = state._replace(
+        params=tree["params"],
+        extra=tree.get("extra") or state.extra,
+        aux=tree.get("aux", state.aux),
+        step=jnp.asarray(tree.get("step", 0)),
+    )
+    log(f"loaded checkpoint {path}")
+    return state

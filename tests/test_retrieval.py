@@ -219,6 +219,48 @@ def test_hash_index_from_mat_and_demo_cli(tmp_path):
     assert _demo([path, "--topk", "3", "--queries", "2"]) == 0
 
 
+def test_retriever_from_pretrained_dataset_free(tmp_path):
+    """Deployment path: train via the CLI, then build a Retriever from the
+    orbax state_ckpt with NO dataset on hand; codes must match the
+    trainer's in-memory state."""
+    from ccmh.cli import main
+    from ccmh.data.synthetic import write_synthetic_mat_dataset
+
+    data_dir = write_synthetic_mat_dataset(str(tmp_path / "data"), n=48,
+                                           n_class=6, resolution=32)
+    trainer = main([
+        "--method", "DSPH", "--dataset", "synthetic", "--output-dim", "16",
+        "--data-dir", data_dir, "--save-dir", str(tmp_path / "out"),
+        "--epochs", "1", "--batch-size", "12", "--query-num", "12",
+        "--train-num", "24", "--eval-batch", "12", "--clip-arch", "tiny",
+        "--checkpoint-every", "1",
+    ])
+    ckpt = os.path.join(trainer.cfg.save_dir, "state_ckpt")
+    live = Retriever.from_trainer(trainer)
+
+    cfg = trainer.cfg.replace(pretrained=ckpt)
+    served = Retriever.from_pretrained(cfg, clip_cfg=trainer.clip_cfg)
+    ids = _demo_ids(4)
+    np.testing.assert_array_equal(served.encode_texts(ids),
+                                  live.encode_texts(ids))
+    rng = np.random.RandomState(7)
+    imgs = rng.randn(4, trainer.clip_cfg.image_resolution,
+                     trainer.clip_cfg.image_resolution, 3).astype(np.float32)
+    np.testing.assert_array_equal(served.encode_images(imgs),
+                                  live.encode_images(imgs))
+
+    # npz interchange form too
+    npz = os.path.join(str(tmp_path), "w.npz")
+    trainer.save_checkpoint(npz)
+    served2 = Retriever.from_pretrained(cfg.replace(pretrained=npz),
+                                        clip_cfg=trainer.clip_cfg)
+    np.testing.assert_array_equal(served2.encode_texts(ids),
+                                  live.encode_texts(ids))
+
+    with pytest.raises(ValueError):
+        Retriever.from_pretrained(cfg.replace(pretrained=""))
+
+
 def test_index_validation_errors():
     g = random_codes(10, 16, 14, with_ties=False)
     with pytest.raises(ValueError):
