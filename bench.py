@@ -416,14 +416,15 @@ def main():
                     f"for {q_n} queries -> {q_n / dt:,.0f} queries/s")
 
         # serving path: top-100 retrieval over the 1M gallery (stable
-        # tie-broken ranking, ccmh/retrieval.py — the int8-MXU index)
-        from ccmh.retrieval import topk_search
+        # tie-broken ranking, ccmh/retrieval.py — device-resident index)
+        from ccmh.retrieval import HashIndex
 
-        q_np, r_np = np.asarray(qB), np.asarray(rB)
-        topk_search(q_np, r_np, 100)  # compile
+        index = HashIndex(np.asarray(rB))
+        q_np = np.asarray(qB)
+        index.search(q_np, 100)  # compile
         t0 = time.time()
         for _ in range(3):
-            d_k, i_k = topk_search(q_np, r_np, 100)
+            d_k, i_k = index.search(q_np, 100)
         dt = (time.time() - t0) / 3
         log(f"1M-gallery top-100 retrieval (K=64, int8-MXU index): "
             f"{dt * 1e3:.1f} ms for {q_n} queries -> {q_n / dt:,.0f} queries/s")
