@@ -87,6 +87,31 @@ def test_topk_sharded_matches_single():
     np.testing.assert_array_equal(i2, bi)
 
 
+def test_sharded_search_gathers_only_candidates():
+    """The compiled sharded search must all-gather ONLY the per-shard
+    [C, k] candidate sets — never the [C, N] distance matrix (which would
+    defeat the gallery sharding).  Checked on the HLO of the cached
+    executable: every all-gather output stays k-sized per shard."""
+    import re
+
+    from ccmh.ops.hamming import hamming_distance
+    from ccmh.retrieval import _idx_bits, _sharded_search_fn
+
+    mesh = make_mesh(8)
+    n, c, k_bits, k = 1600, 64, 16, 10
+    per = n // 8
+    fn = _sharded_search_fn(mesh, "data", hamming_distance, k,
+                            _idx_bits(n), per, n)
+    q = jnp.zeros((c, k_bits), jnp.int8)
+    g = jnp.zeros((n, k_bits), jnp.int8)
+    hlo = fn.lower(q, g).compile().as_text()
+    gathered = re.findall(r"= s32\[(\d+),(\d+)\][^\n]*all-gather\(", hlo)
+    assert gathered, "expected candidate all-gathers in the sharded search"
+    for rows, cols in gathered:
+        # [C, ndev*k] at most — candidate sets, not the [C, per] distances
+        assert int(rows) == c and int(cols) <= 8 * k, (rows, cols)
+
+
 def test_custom_dist_fn_search():
     """DPSIH-style ranking: dist_fn replaces Hamming (multi-embed max-sim,
     train/DPSIH/_utils.py:16-26)."""
