@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="auto-resume full training state from save_dir/state_ckpt")
     parser.add_argument("--profile", action="store_true", default=defaults.profile,
                         help="capture a jax.profiler trace of epoch 1")
+    parser.add_argument("--compilation-cache", type=str,
+                        default=defaults.compilation_cache, metavar="DIR",
+                        help="persistent XLA compilation cache: compiled "
+                             "programs are reused across process restarts "
+                             "(kills the 20-40 s first-compile on TPU)")
     parser.add_argument("--mesh", type=str, default="1",
                         help="data-parallel mesh shape, e.g. '8'")
     parser.add_argument("--shard-gallery", type=str, default="auto",
@@ -155,6 +160,7 @@ def config_from_args(argv=None) -> Config:
         compute_dtype=args.compute_dtype, remat=args.remat,
         checkpoint_every=args.checkpoint_every,
         resume=args.resume, profile=args.profile,
+        compilation_cache=args.compilation_cache,
         mesh_shape=tuple(int(x) for x in args.mesh.split(",")),
         shard_gallery={"auto": None, "true": True, "false": False}[
             args.shard_gallery],

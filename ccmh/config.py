@@ -271,6 +271,12 @@ class Config:
     checkpoint_every: int = 0             # orbax checkpoint period (0 = off)
     resume: bool = False                  # auto-resume from save_dir/state_ckpt
     profile: bool = False
+    # persistent XLA compilation cache directory ("" = off): first compile
+    # of each (program, shape) is written to disk and every later process
+    # start loads it instead of recompiling — on TPU the 20-40 s tower
+    # compiles happen once per machine, not once per run.  Shared safely
+    # across concurrent runs (content-addressed entries).
+    compilation_cache: str = ""
 
     # filled in at runtime
     nclass: int = 0

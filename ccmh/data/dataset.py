@@ -198,6 +198,7 @@ class BatchIterator:
         self.drop_last = drop_last
         self.seed = seed
         self._epoch = 0
+        self._start_step = 0    # one-shot batch skip (set_start_step)
         # ragged_last=True yields the final partial batch at its true size
         # instead of wrap-padding: exact reference semantics for batch-
         # statistics losses (the ragged torch batch, train/base.py:87-92) at
@@ -216,6 +217,15 @@ class BatchIterator:
         run (trainer checkpoint/resume) replays the identical data order."""
         self._epoch = epoch
         self.dataset.epoch = epoch      # caption sampling follows the epoch
+
+    def set_start_step(self, step: int) -> None:
+        """Skip the first ``step`` batches of the NEXT iteration only —
+        O(1) (the skipped batches are never assembled or decoded).  Because
+        the epoch's permutation and caption draws are pure functions of
+        (seed, epoch, item), batch ``step`` onward is bit-identical to the
+        uninterrupted epoch's — the mid-epoch preemption resume path
+        (Trainer.train)."""
+        self._start_step = step
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -270,6 +280,8 @@ class BatchIterator:
         starts = list(range(0, n, self.batch_size))
         if self.drop_last and n % self.batch_size:
             starts = starts[:-1]
+        skip, self._start_step = getattr(self, "_start_step", 0), 0
+        starts = starts[skip:]
 
         queue: Queue = Queue(maxsize=self.prefetch)
         sentinel = object()

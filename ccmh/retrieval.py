@@ -439,6 +439,10 @@ class Retriever:
 
         if not cfg.pretrained:
             raise ValueError("from_pretrained requires cfg.pretrained")
+        if getattr(cfg, "compilation_cache", ""):
+            from ccmh.utils.compile_cache import enable_compilation_cache
+
+            enable_compilation_cache(cfg.compilation_cache)
         method = get_method(cfg.method)
         rng = jax.random.PRNGKey(cfg.seed)
         if cfg.clip_path:

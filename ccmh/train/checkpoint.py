@@ -41,12 +41,15 @@ _KEEP_SLOTS = 2
 
 # best-mAP trackers checkpointed alongside the state so a resumed run does
 # not reset its best-epoch bookkeeping (and overwrite better .mat snapshots
-# with worse ones)
-DEFAULT_META = {
+# with worse ones).  step_in_epoch > 0 marks a PREEMPTION checkpoint taken
+# mid-epoch: "epoch" is then the epoch in progress and resume fast-forwards
+# the loader past the first step_in_epoch batches (Trainer.train).
+_LEGACY_META = {
     "max_mapi2t": 0.0, "max_mapt2i": 0.0,
     "best_epoch_i": 0.0, "best_epoch_t": 0.0,
     "total_time": 0.0,
 }
+DEFAULT_META = {**_LEGACY_META, "step_in_epoch": 0.0}
 
 
 def _pack(state: TrainState, epoch: int, meta: Optional[Dict[str, float]]) -> Any:
@@ -131,9 +134,11 @@ def load_state(
     if inner:
         path = inner[-1]
     # orbax restore needs the abstract tree to match the saved structure;
-    # tolerate checkpoints written with and without the meta trackers by
-    # trying the caller's expectation first, then the other shape.
-    candidates = [meta_template, None] if meta_template else [None, DEFAULT_META]
+    # tolerate checkpoints written with and without the meta trackers (and
+    # pre-step_in_epoch layouts) by trying the caller's expectation first,
+    # then the other shapes.
+    candidates = ([meta_template, _LEGACY_META, None] if meta_template
+                  else [None, DEFAULT_META, _LEGACY_META])
     with ocp.StandardCheckpointer() as ckptr:
         err = None
         for meta in candidates:

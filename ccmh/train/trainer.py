@@ -48,6 +48,10 @@ class Trainer:
         clip_params=None,
     ):
         self.cfg = cfg
+        if getattr(cfg, "compilation_cache", ""):
+            from ccmh.utils.compile_cache import enable_compilation_cache
+
+            enable_compilation_cache(cfg.compilation_cache)
         os.makedirs(cfg.save_dir, exist_ok=True)
         self.logger = get_logger(
             os.path.join(cfg.save_dir, "train.log" if cfg.is_train else "test.log"))
@@ -60,6 +64,7 @@ class Trainer:
         self._init_model(clip_cfg, clip_params)
 
         self.global_step = 0
+        self._preempt = False
         self.max_mapi2t = 0.0
         self.max_mapt2i = 0.0
         self.best_epoch_i = 0
@@ -200,27 +205,71 @@ class Trainer:
         else:
             self.test()
 
+    def request_preempt(self) -> None:
+        """Ask the training loop to checkpoint at the next step boundary and
+        exit cleanly.  Wired to SIGTERM while ``train()`` runs (the signal a
+        preempted TPU VM / batch scheduler sends); also callable directly."""
+        self._preempt = True
+
     def train(self):
+        import signal
+        import threading
+
         self.logger.info("Start train.")
-        start_epoch = 0
+        start_epoch, skip_steps = 0, 0
         if self.cfg.resume:
-            start_epoch = self.try_resume()
-        for epoch in range(start_epoch, self.cfg.epochs):
-            self.train_epoch(epoch)
-            if self.cfg.valid:
-                self.valid(epoch)
-            if self.cfg.save_model:
-                self.save_checkpoint(os.path.join(self.cfg.save_dir, f"model-{epoch}.npz"))
-            if self.cfg.checkpoint_every and (epoch + 1) % self.cfg.checkpoint_every == 0:
-                self.save_full_checkpoint(epoch)
+            start_epoch, skip_steps = self.try_resume()
+        self._preempt = False
+        # graceful preemption: SIGTERM -> full-state checkpoint at the next
+        # step boundary -> clean exit; --resume continues BIT-EXACTLY from
+        # that step (the loader order and caption draws are pure functions
+        # of (seed, epoch, item), so the replayed remainder is identical).
+        # The reference loses the epoch in progress AND all optimizer state.
+        old_handler = None
+        in_main = threading.current_thread() is threading.main_thread()
+        if in_main:
+            def _on_sigterm(signum, frame):
+                self.logger.info(
+                    "SIGTERM: checkpointing at the next step boundary")
+                self.request_preempt()
+
+            old_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        try:
+            for epoch in range(start_epoch, self.cfg.epochs):
+                if not self.train_epoch(epoch, skip_steps=skip_steps):
+                    return  # preempted: checkpoint already written
+                skip_steps = 0
+                if self._preempt:  # signal landed on the epoch's last step
+                    self.save_full_checkpoint(epoch)
+                    self.logger.info(
+                        f"preempted after epoch {epoch}; rerun with --resume")
+                    return
+                if self.cfg.valid:
+                    self.valid(epoch)
+                if self.cfg.save_model:
+                    self.save_checkpoint(os.path.join(self.cfg.save_dir, f"model-{epoch}.npz"))
+                if self.cfg.checkpoint_every and (epoch + 1) % self.cfg.checkpoint_every == 0:
+                    self.save_full_checkpoint(epoch)
+        finally:
+            if in_main:
+                signal.signal(signal.SIGTERM, old_handler)
         self.logger.info(
             f">>>>>>> FINISHED >>>>>> Best epoch, I-T: {self.best_epoch_i}, "
             f"mAP: {self.max_mapi2t}, T-I: {self.best_epoch_t}, mAP: {self.max_mapt2i}")
 
-    def train_epoch(self, epoch: int):
+    def train_epoch(self, epoch: int, skip_steps: int = 0) -> bool:
+        """One epoch (optionally resuming mid-epoch at batch ``skip_steps``).
+        Returns False when preempted — a full-state checkpoint tagged with
+        the step survived to disk and ``train()`` exits cleanly."""
         cfg = self.cfg
         self.logger.info(f">>>>>> epochs: {epoch}/{cfg.epochs}")
         self.train_loader.set_epoch(epoch)  # resume-safe shuffle order
+        if skip_steps:
+            # O(1): the first skip_steps batches are never assembled
+            self.train_loader.set_start_step(skip_steps)
+            self.logger.info(
+                f"mid-epoch resume: fast-forwarding {skip_steps} steps")
+        step_in_epoch = skip_steps
         if cfg.profile and epoch == 1:  # skip the compile-heavy first epoch
             jax.profiler.start_trace(os.path.join(cfg.save_dir, "profile"))
         losses = []
@@ -249,17 +298,29 @@ class Trainer:
                                      depth=getattr(cfg, "prefetch_device", 2)):
             self.state, metrics = self.train_step(self.state, batch)
             self.global_step += 1
+            step_in_epoch += 1
             losses.append(metrics["loss"])
             if self.global_step % cfg.display_step == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 self.logger.info(f">>>>>> Display >>>>>> [{epoch}/{cfg.epochs}] {m}")
                 self.metrics.write("train", self.global_step, **m)
+            if getattr(self, "_preempt", False) and step_in_epoch < len(self.train_loader):
+                self.total_time += time.time() - start
+                if cfg.profile and epoch == 1:
+                    jax.profiler.stop_trace()
+                self.save_full_checkpoint(epoch, step_in_epoch=step_in_epoch)
+                self.logger.info(
+                    f"preempted at epoch {epoch} step {step_in_epoch}/"
+                    f"{len(self.train_loader)}; rerun with --resume to "
+                    f"continue bit-exactly from this step")
+                return False
         self.total_time += time.time() - start
         if cfg.profile and epoch == 1:
             jax.profiler.stop_trace()
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         self.logger.info(
             f">>>>>> [{epoch}/{cfg.epochs}] loss: {mean_loss}, time: {self.total_time}")
+        return True
 
     # ------------------------------------------------------------------- eval
     def get_code(self, loader: BatchIterator, length: int) -> Tuple[np.ndarray, np.ndarray, float]:
@@ -447,11 +508,15 @@ class Trainer:
         self.logger.info(f">>>>>> save best {mode_name} data!")
 
     # ------------------------------------------------------------- checkpoint
-    def save_full_checkpoint(self, epoch: int):
+    def save_full_checkpoint(self, epoch: int, step_in_epoch: int = 0):
         """Orbax checkpoint of the COMPLETE TrainState + epoch + best-mAP
         trackers — the failure-recovery path the reference lacks (SURVEY §5:
         its only recovery is weight reload via --pretrained,
-        train/base.py:225-227; optimizer state and progress are lost)."""
+        train/base.py:225-227; optimizer state and progress are lost).
+
+        ``step_in_epoch`` > 0 marks a mid-epoch PREEMPTION checkpoint:
+        ``epoch`` is then the epoch in progress, and resume fast-forwards
+        the (deterministically keyed) loader past the completed steps."""
         from ccmh.train.checkpoint import save_state
 
         state = self.state
@@ -459,24 +524,29 @@ class Trainer:
             state = jax.tree.map(
                 lambda t: np.asarray(t) if hasattr(t, "shape") else t, state)
         save_state(os.path.join(self.cfg.save_dir, "state_ckpt"), state, epoch,
-                   meta=self._tracker_meta())
-        self.logger.info(f"full-state checkpoint @ epoch {epoch}")
+                   meta=self._tracker_meta(step_in_epoch))
+        at = f" (step {step_in_epoch})" if step_in_epoch else ""
+        self.logger.info(f"full-state checkpoint @ epoch {epoch}{at}")
 
-    def _tracker_meta(self) -> Dict[str, float]:
+    def _tracker_meta(self, step_in_epoch: int = 0) -> Dict[str, float]:
         return {
             "max_mapi2t": self.max_mapi2t, "max_mapt2i": self.max_mapt2i,
             "best_epoch_i": float(self.best_epoch_i),
             "best_epoch_t": float(self.best_epoch_t),
             "total_time": self.total_time,
+            "step_in_epoch": float(step_in_epoch),
         }
 
-    def try_resume(self) -> int:
-        """Resume from save_dir/state_ckpt if present; returns start epoch."""
+    def try_resume(self) -> Tuple[int, int]:
+        """Resume from save_dir/state_ckpt if present.  Returns
+        ``(start_epoch, skip_steps)``: skip_steps > 0 means the checkpoint
+        was a mid-epoch preemption save and ``start_epoch`` is the epoch to
+        re-enter at that step."""
         from ccmh.train.checkpoint import latest_checkpoint, load_state
 
         path = latest_checkpoint(self.cfg.save_dir)
         if path is None:
-            return 0
+            return 0, 0
         state, epoch, meta = load_state(path, self.state,
                                         meta_template=self._tracker_meta())
         if meta:
@@ -494,8 +564,13 @@ class Trainer:
             state = replicate(self.mesh, state)
         self.state = state
         self.global_step = int(state.step)
+        skip = int(meta.get("step_in_epoch", 0.0)) if meta else 0
+        if skip:
+            self.logger.info(
+                f"resumed from {path} (mid-epoch {epoch}, step {skip})")
+            return epoch, skip
         self.logger.info(f"resumed from {path} (completed epoch {epoch})")
-        return epoch + 1
+        return epoch + 1, 0
 
     def save_checkpoint(self, path: str):
         tree = {

@@ -331,3 +331,118 @@ def test_twdh_padded_eval_equals_ragged(tmp_path):
 
     np.testing.assert_array_equal(np.asarray(padded_i), np.asarray(ragged_i))
     np.testing.assert_array_equal(np.asarray(padded_t), np.asarray(ragged_t))
+
+
+def test_loader_start_step_skips_batches():
+    """BatchIterator.set_start_step(k): iteration yields exactly the
+    uninterrupted epoch's batches [k:], bit-identical (the permutation and
+    caption draws are pure functions of (seed, epoch, item)) — the O(1)
+    fast-forward the mid-epoch preemption resume uses."""
+    from ccmh.data.dataset import BatchIterator, CrossModalDataset
+
+    raw = synthetic_arrays(n=40, n_class=4, resolution=TINY.image_resolution)
+    s = split_data(raw, query_num=8, train_num=32, seed=3)
+    ds = CrossModalDataset(s.train, is_train=True, max_words=16,
+                           resolution=TINY.image_resolution, seed=3)
+    loader = BatchIterator(ds, 8, shuffle=True, seed=3, num_workers=2)
+
+    loader.set_epoch(5)
+    full = list(loader)
+    loader.set_epoch(5)
+    loader.set_start_step(2)
+    tail = list(loader)
+    assert len(full) == 4 and len(tail) == 2
+    for a, b in zip(full[2:], tail):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # one-shot: the next plain iteration starts from batch 0 again
+    loader.set_epoch(5)
+    again = list(loader)
+    assert len(again) == len(full)
+    np.testing.assert_array_equal(again[0]["index"], full[0]["index"])
+
+
+@pytest.mark.slow
+def test_preemption_mid_epoch_resume_bit_exact(tmp_path):
+    """Graceful preemption: request_preempt() mid-epoch writes a full-state
+    checkpoint tagged with the step survived, train() exits cleanly, and a
+    --resume run fast-forwards the loader and continues BIT-EXACTLY — final
+    params, optimizer moments, and step count all match an uninterrupted
+    run.  (The reference loses the epoch in progress and every optimizer
+    moment on any interruption.)"""
+    # uninterrupted oracle: 2 epochs x 2 steps
+    t_ref = make_trainer("DSPH", tmp_path / "ref", epochs=2, valid=False)
+    t_ref.train()
+
+    # preempted mid-epoch-1: signal lands after global step 3 (epoch 1 step 1)
+    t_a = make_trainer("DSPH", tmp_path / "ab", epochs=2, valid=False)
+    orig_step = t_a.train_step
+    def counting_step(state, batch):
+        out = orig_step(state, batch)
+        if t_a.global_step + 1 == 3:   # global_step increments after the call
+            t_a.request_preempt()
+        return out
+    t_a.train_step = counting_step
+    t_a.train()
+    assert t_a.global_step == 3        # exited before epoch 1's second step
+
+    t_b = make_trainer("DSPH", tmp_path / "ab", epochs=2, valid=False,
+                       resume=True)
+    t_b.train()
+    assert int(t_b.state.step) == int(t_ref.state.step)
+    for x, y in zip(jax.tree.leaves(t_ref.state.params),
+                    jax.tree.leaves(t_b.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(t_ref.state.opt_state),
+                    jax.tree.leaves(t_b.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(t_ref.state.extra),
+                    jax.tree.leaves(t_b.state.extra)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
+def test_sigterm_graceful_checkpoint(tmp_path):
+    """A REAL SIGTERM delivered mid-training triggers the checkpoint-and-
+    exit path (the signal a preempted TPU VM sends), and --resume finishes
+    the remaining epochs to the exact total step count."""
+    import os
+    import signal
+    import threading
+
+    # outer benign handler: if the timer fires after train() restored the
+    # previous handler, the process must not die
+    prev = signal.signal(signal.SIGTERM, lambda *a: None)
+    try:
+        t = make_trainer("DSPH", tmp_path, epochs=60, valid=False)
+        timer = threading.Timer(2.0, os.kill, (os.getpid(), signal.SIGTERM))
+        timer.start()
+        try:
+            t.train()
+        finally:
+            timer.cancel()
+        assert t._preempt, "SIGTERM never landed during training"
+        assert t.global_step < 120
+        from ccmh.train.checkpoint import latest_checkpoint
+        assert latest_checkpoint(t.cfg.save_dir) is not None
+
+        t2 = make_trainer("DSPH", tmp_path, epochs=60, valid=False,
+                          resume=True)
+        t2.train()
+        assert int(t2.state.step) == 120
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
+def test_compilation_cache_flag(tmp_path):
+    """--compilation-cache DIR persists compiled executables to disk (the
+    cross-process warm-start path)."""
+    import jax as _jax
+
+    cache = tmp_path / "xla_cache"
+    try:
+        t = make_trainer("DCHMT", tmp_path, compilation_cache=str(cache))
+        t.train_epoch(0)
+        assert cache.is_dir() and len(list(cache.iterdir())) > 0
+    finally:
+        _jax.config.update("jax_compilation_cache_dir", None)
