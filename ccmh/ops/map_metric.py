@@ -115,6 +115,33 @@ def _map_chunk(
     return jnp.sum(ap)
 
 
+def _bin_counts(dist: jax.Array, gnd: jax.Array, n_bins: int):
+    """Per-distance-bin counts for a chunk: (A, R) both [C, n_bins] float32 —
+    A_d = items at distance d, R_d = relevant items at distance d.
+
+    Computed via lax.scan over GROUPS of 8 bins: the scan bounds live
+    [C, N] compare masks at 8 (a fully unrolled python loop keeps all
+    n_bins masks live -> OOM at large chunk x gallery products), while the
+    in-group unroll lets XLA fuse 8 compares per pass over ``dist``.
+    Shared by the hist-mAP path and ops/pr_curve.py."""
+    GROUP = 8
+    n_groups = -(-n_bins // GROUP)
+    base = jnp.arange(n_groups, dtype=dist.dtype) * GROUP
+
+    def group_counts(_, d0):
+        a, r = [], []
+        for j in range(GROUP):
+            m = (dist == d0 + j).astype(jnp.float32)
+            a.append(jnp.sum(m, axis=1))
+            r.append(jnp.sum(m * gnd, axis=1))
+        return None, (jnp.stack(a), jnp.stack(r))                 # [GROUP, C]
+
+    _, (A_g, R_g) = jax.lax.scan(group_counts, None, base)        # [G, GROUP, C]
+    A = A_g.reshape(n_groups * GROUP, -1).T[:, :n_bins]           # [C, bins]
+    R = R_g.reshape(n_groups * GROUP, -1).T[:, :n_bins]
+    return A, R
+
+
 @functools.partial(jax.jit, static_argnames=("n_bins", "dist_fn"))
 def _map_chunk_hist(
     q_codes: jax.Array,     # [C, K] ±1
@@ -151,25 +178,7 @@ def _map_chunk_hist(
                          jnp.asarray(n_bins, dist.dtype))
     gnd = _gnd_matrix(q_labels, r_labels).astype(jnp.float32)
 
-    # per-bin counts via lax.scan over GROUPS of 8 bins: the scan bounds live
-    # [C, N] compare masks at 8 (a fully unrolled python loop keeps all
-    # n_bins masks live -> OOM at large chunk x gallery products), while the
-    # in-group unroll lets XLA fuse 8 compares per pass over `dist`.
-    GROUP = 8
-    n_groups = -(-n_bins // GROUP)
-    base = jnp.arange(n_groups, dtype=dist.dtype) * GROUP
-
-    def group_counts(_, d0):
-        a, r = [], []
-        for j in range(GROUP):
-            m = (dist == d0 + j).astype(jnp.float32)
-            a.append(jnp.sum(m, axis=1))
-            r.append(jnp.sum(m * gnd, axis=1))
-        return None, (jnp.stack(a), jnp.stack(r))                 # [GROUP, C]
-
-    _, (A_g, R_g) = jax.lax.scan(group_counts, None, base)        # [G, GROUP, C]
-    A = A_g.reshape(n_groups * GROUP, -1).T[:, :n_bins]           # [C, bins]
-    R = R_g.reshape(n_groups * GROUP, -1).T[:, :n_bins]
+    A, R = _bin_counts(dist, gnd, n_bins)                         # [C, bins]
     L = jnp.cumsum(A, axis=1) - A
     P = jnp.cumsum(R, axis=1) - R
 
