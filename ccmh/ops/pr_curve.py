@@ -40,18 +40,24 @@ from ccmh.ops.hamming import hamming_distance
 from ccmh.ops.map_metric import _bin_counts, _gnd_matrix
 
 
-@functools.partial(jax.jit, static_argnames=("n_bins",))
-def _chunk_hists(q_codes, r_codes, q_labels, r_labels, n_bins: int):
+@functools.partial(jax.jit, static_argnames=("n_bins", "dist_fn"))
+def _chunk_hists(q_codes, r_codes, q_labels, r_labels, n_bins: int,
+                 dist_fn=None):
     """(A, R) per-bin histograms [C, n_bins] + tsum [C] for one chunk."""
-    dist = hamming_distance(q_codes, r_codes)
+    dist = (dist_fn or hamming_distance)(q_codes, r_codes)
     gnd = _gnd_matrix(q_labels, r_labels).astype(jnp.float32)
     A, R = _bin_counts(dist, gnd, n_bins)
     return A, R, jnp.sum(R, axis=1)
 
 
-def _all_hists(q_codes, r_codes, q_labels, r_labels, chunk: Optional[int]):
+def _all_hists(q_codes, r_codes, q_labels, r_labels, chunk: Optional[int],
+               dist_fn=None, max_dist: Optional[int] = None):
     q_codes = np.asarray(q_codes)
-    n_bins = q_codes.shape[1] + 1                   # Hamming dist in [0, K]
+    if max_dist is None:
+        if dist_fn is not None:
+            raise ValueError("custom dist_fn requires max_dist")
+        max_dist = q_codes.shape[1]                 # Hamming dist in [0, K]
+    n_bins = max_dist + 1
     chunk = min(chunk or 2048, max(1, q_codes.shape[0]))
     r_dev = jax.device_put(jnp.asarray(r_codes))
     rl_dev = jax.device_put(jnp.asarray(r_labels, jnp.float32))
@@ -60,7 +66,7 @@ def _all_hists(q_codes, r_codes, q_labels, r_labels, chunk: Optional[int]):
         parts.append([np.asarray(x) for x in _chunk_hists(
             jnp.asarray(q_codes[s:s + chunk]), r_dev,
             jnp.asarray(np.asarray(q_labels)[s:s + chunk], np.float32),
-            rl_dev, n_bins)])
+            rl_dev, n_bins, dist_fn)])
     A = np.concatenate([p[0] for p in parts])       # [Q, n_bins]
     R = np.concatenate([p[1] for p in parts])
     tsum = np.concatenate([p[2] for p in parts])    # [Q]
@@ -69,14 +75,18 @@ def _all_hists(q_codes, r_codes, q_labels, r_labels, chunk: Optional[int]):
 
 def pr_curve(
     q_codes, r_codes, q_labels, r_labels, *, chunk: Optional[int] = None,
+    dist_fn=None, max_dist: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(precision [K+1], recall [K+1]) at Hamming radii 0..K.
 
     Codes are ±1 [Q, K]/[N, K]; labels multi-hot.  Mean over queries with
     tsum > 0; a query retrieving nothing within radius r contributes
-    precision 0 at r (the usual hashing-paper convention).
+    precision 0 at r (the usual hashing-paper convention).  ``dist_fn``
+    (+ ``max_dist``) replaces plain Hamming — e.g. DPSIH's multi-embed
+    min-distance ranking; it must return int32 distances in [0, max_dist].
     """
-    A, R, tsum = _all_hists(q_codes, r_codes, q_labels, r_labels, chunk)
+    A, R, tsum = _all_hists(q_codes, r_codes, q_labels, r_labels, chunk,
+                            dist_fn, max_dist)
     valid = tsum > 0
     ret = np.cumsum(A, axis=1)                      # retrieved within <= r
     rel = np.cumsum(R, axis=1)                      # relevant within <= r
@@ -90,12 +100,14 @@ def pr_curve(
 
 def precision_at_n(
     q_codes, r_codes, q_labels, r_labels, ns: Sequence[int],
-    *, chunk: Optional[int] = None,
+    *, chunk: Optional[int] = None, dist_fn=None,
+    max_dist: Optional[int] = None,
 ) -> np.ndarray:
     """Mean P@N for each N in ``ns`` (expected value over random tie
     permutations; exact when the ranking is tie-free).  Queries with no
     relevant items are skipped, matching :func:`pr_curve`."""
-    A, R, tsum = _all_hists(q_codes, r_codes, q_labels, r_labels, chunk)
+    A, R, tsum = _all_hists(q_codes, r_codes, q_labels, r_labels, chunk,
+                            dist_fn, max_dist)
     valid = tsum > 0
     L = np.cumsum(A, axis=1) - A                    # items strictly closer
     ns_arr = np.asarray(list(ns), np.float64)       # [M]

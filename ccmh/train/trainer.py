@@ -487,7 +487,32 @@ class Trainer:
         self.logger.info(
             f">>>>>> MAP(i->t): {i2t}, MAP(t->i): {t2i}, MAP(t->t): {t2t}, MAP(i->i): {i2i}")
         self.save_mat(q_img, q_txt, r_img, r_txt, mode_name=mode_name)
+        self.save_pr_curves(q_img, q_txt, r_img, r_txt)
         return i2t, t2i, i2i, t2t
+
+    def save_pr_curves(self, q_img, q_txt, r_img, r_txt):
+        """PR + topN-precision curves for both directions, computed on
+        device (ops/pr_curve.py) and written next to the code dumps.  The
+        reference stops at dumping the raw codes for external plotting;
+        this writes the plottable curves themselves."""
+        from ccmh.ops.pr_curve import pr_curve, precision_at_n
+
+        save_dir = os.path.join(self.cfg.save_dir, "PR_cruve")
+        os.makedirs(save_dir, exist_ok=True)
+        n = len(self.retrieval_labels)
+        ns = sorted({int(x) for x in np.logspace(0, np.log10(n), 12)})
+        kw = dict(dist_fn=self.eval_dist_fn,
+                  max_dist=self.cfg.output_dim) if self.eval_dist_fn else {}
+        for name, (qB, rB) in (("i2t", (q_img, r_txt)), ("t2i", (q_txt, r_img))):
+            precision, recall = pr_curve(
+                qB, rB, self.query_labels, self.retrieval_labels, **kw)
+            p_at_n = precision_at_n(
+                qB, rB, self.query_labels, self.retrieval_labels, ns, **kw)
+            scio.savemat(
+                os.path.join(save_dir, f"curves-{name}.mat"),
+                {"radius": np.arange(len(precision)), "precision": precision,
+                 "recall": recall, "topn": np.asarray(ns), "p_at_n": p_at_n})
+        self.logger.info(f">>>>>> save PR/topN curves to {save_dir}")
 
     def save_mat(self, q_img, q_txt, r_img, r_txt, mode_name="i2t"):
         """.mat export interoperable with reference tooling (train/base.py:328-349)."""

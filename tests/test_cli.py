@@ -122,3 +122,22 @@ def test_cli_test_mode(tmp_path):
     assert "MAP(i->t)" in log_text
     assert os.path.exists(
         os.path.join(save_dir, "PR_cruve", "16-ours-synthetic-i2t.mat"))
+    # PR/topN curves written next to the code dump, consistent with the
+    # codes: recall reaches 1 at the max radius and the curves match a
+    # recomputation from the dumped codes
+    import numpy as np
+    import scipy.io as scio
+
+    from ccmh.ops.pr_curve import pr_curve
+
+    dump = scio.loadmat(os.path.join(
+        save_dir, "PR_cruve", "16-ours-synthetic-i2t.mat"))
+    for direction in ("i2t", "t2i"):
+        got = scio.loadmat(os.path.join(save_dir, "PR_cruve",
+                                        f"curves-{direction}.mat"))
+        assert abs(float(got["recall"].ravel()[-1]) - 1.0) < 1e-6
+        qf, rf = (("q_img", "r_txt") if direction == "i2t"
+                  else ("q_txt", "r_img"))
+        want_p, want_r = pr_curve(dump[qf], dump[rf], dump["q_l"], dump["r_l"])
+        np.testing.assert_allclose(got["precision"].ravel(), want_p, atol=1e-6)
+        np.testing.assert_allclose(got["recall"].ravel(), want_r, atol=1e-6)

@@ -118,3 +118,35 @@ def test_pr_curve_cli_roundtrip(tmp_path):
     np.testing.assert_allclose(got["recall"].ravel(), want_r, atol=1e-6)
     assert got["p_at_n"].ravel().shape == (3,)
     assert ((got["p_at_n"] >= 0) & (got["p_at_n"] <= 1)).all()
+
+
+def test_pr_curve_custom_dist_fn():
+    """dist_fn + max_dist (the DPSIH multi-embed eval hook): curves match
+    the oracle computed with the same distance."""
+    import jax.numpy as jnp
+
+    qB, rB, qL, rL = random_case(q=9, n=31, k=8, seed=7)
+
+    def shifted(q, r):  # still integer, bounded by k (min over a fake axis)
+        k = q.shape[1]
+        d = ((k - q @ r.T) / 2).astype(jnp.int32)
+        return jnp.minimum(d + 1, k)
+
+    got_p, got_r = pr_curve(qB, rB, qL, rL, dist_fn=shifted, max_dist=8)
+    dist = np.minimum(((8 - qB @ rB.T) / 2).astype(np.int64) + 1, 8)
+    gnd = (qL @ rL.T) > 0
+    P = np.zeros(9); R = np.zeros(9); nv = 0
+    for q in range(qB.shape[0]):
+        tsum = gnd[q].sum()
+        if tsum == 0:
+            continue
+        nv += 1
+        for r in range(9):
+            m = dist[q] <= r
+            P[r] += (m & gnd[q]).sum() / max(m.sum(), 1)
+            R[r] += (m & gnd[q]).sum() / tsum
+    np.testing.assert_allclose(got_p, P / nv, atol=1e-6)
+    np.testing.assert_allclose(got_r, R / nv, atol=1e-6)
+
+    with pytest.raises(ValueError, match="max_dist"):
+        pr_curve(qB, rB, qL, rL, dist_fn=shifted)
