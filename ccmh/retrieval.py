@@ -131,18 +131,20 @@ def _merge_topk(dist: jax.Array, idx: jax.Array, k: int,
 
 
 @functools.lru_cache(maxsize=256)
-def _search_fn(dist_fn, k: int, idx_bits: int, n: int):
+def _search_fn(dist_fn, k: int, idx_bits: int):
     """Compiled single-device search, cached on its static parameters.
 
     A per-call ``@jax.jit`` closure would be a fresh cache entry every
     search (measured: recompilation dominated serving latency); an index
-    reuses one executable for its whole lifetime.
+    reuses one executable for its whole lifetime.  The valid-row count is
+    a RUNTIME argument (not baked in), so a growing index
+    (HashIndex.add) keeps its executable across appends.
     """
 
     @jax.jit
-    def run(qc, g):
+    def run(qc, g, n_valid):
         d = dist_fn(qc, g)
-        return _chunk_topk(d, k, idx_bits, jnp.int32(0), jnp.int32(n))
+        return _chunk_topk(d, k, idx_bits, jnp.int32(0), n_valid)
 
     return run
 
@@ -218,19 +220,22 @@ def topk_search(
         max_dist = md if max_dist is None else max_dist
     elif max_dist is None:
         raise ValueError("custom dist_fn requires max_dist")
-    idx_bits, _ = _check_key_fits(n, max_dist)
     if packed:  # pad the gallery to the Pallas block multiple; the key
         gallery = _pad_rows(gallery, -(-gallery.shape[0] // 1024) * 1024)
+    # idx_bits covers the full CAPACITY (incl. pad rows), so a grown index
+    # (HashIndex.add) only changes executables when capacity doubles
+    idx_bits, _ = _check_key_fits(gallery.shape[0], max_dist)
 
-    run = _search_fn(dist_fn, k, idx_bits, n)
+    run = _search_fn(dist_fn, k, idx_bits)
     g_dev = jax.device_put(gallery)
+    n_dev = jnp.int32(n)
     out_d, out_i = [], []
     chunk = min(chunk, max(1, queries.shape[0]))
     if packed:
         chunk = -(-chunk // 256) * 256  # Pallas query-block multiple
     for s in range(0, queries.shape[0], chunk):
         qc = queries[s:s + chunk]
-        d, i = run(jax.device_put(_pad_rows(qc, chunk)), g_dev)
+        d, i = run(jax.device_put(_pad_rows(qc, chunk)), g_dev, n_dev)
         out_d.append(np.asarray(d[:qc.shape[0]]))
         out_i.append(np.asarray(i[:qc.shape[0]]))
     return np.concatenate(out_d), np.concatenate(out_i)
@@ -335,6 +340,50 @@ class HashIndex:
 
     def __len__(self) -> int:
         return self.n
+
+    def add(self, codes, labels=None) -> None:
+        """Append gallery items WITHOUT rebuilding (streaming ingestion —
+        production galleries grow; the reference has no serving at all).
+
+        Rows land in the device-resident gallery's spare capacity via an
+        on-device dynamic_update_slice; when full, capacity doubles (in
+        1024-row blocks) with one device-side concatenate — the existing
+        gallery is never re-transferred from the host.  Rows past ``n``
+        rank strictly last through the search key sentinel, so a search
+        after ``add`` is exactly a search over the concatenated gallery
+        (same stable tie order: appended items get higher indices).
+        Mesh-sharded galleries would need a full reshard — rebuild instead.
+        """
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "add() on a mesh-sharded index needs a full gallery "
+                "reshard; rebuild the HashIndex instead")
+        codes = np.asarray(codes)
+        if codes.ndim != 2 or codes.shape[1] != self.k_bits:
+            raise ValueError(f"codes must be [M, {self.k_bits}], got {codes.shape}")
+        if (labels is None) != (self.labels is None):
+            raise ValueError("add() labels must match how the index was built")
+        if self.packed:
+            rows = np.asarray(pack_codes(jnp.asarray(codes)))
+        else:
+            rows = np.where(codes > 0, 1, -1).astype(np.int8)
+        m = rows.shape[0]
+        capacity = self._codes.shape[0]
+        if self.n + m > capacity:
+            new_cap = max(2 * capacity, -(-(self.n + m) // 1024) * 1024)
+            self._codes = jnp.concatenate([
+                self._codes,
+                jnp.zeros((new_cap - capacity,) + self._codes.shape[1:],
+                          self._codes.dtype)])
+        self._codes = jax.lax.dynamic_update_slice(
+            self._codes, jnp.asarray(rows), (jnp.int32(self.n), jnp.int32(0)))
+        self._codes.block_until_ready()   # rows visible before n advances
+        if labels is not None:
+            labels = np.asarray(labels)
+            if labels.shape[0] != m:
+                raise ValueError("labels/codes row mismatch")
+            self.labels = np.concatenate([self.labels, labels])
+        self.n += m
 
     @classmethod
     def from_mat(cls, path: str, field: str = "r_img",

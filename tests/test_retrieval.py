@@ -299,3 +299,80 @@ def test_index_validation_errors():
     idx = HashIndex(g)
     with pytest.raises(ValueError):
         idx.precision_at_k(g, np.zeros((10, 2)), 3)   # no labels
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_index_add_matches_rebuild(packed):
+    """HashIndex.add: searches after appends (in-capacity AND through a
+    capacity growth) equal a fresh index over the concatenated gallery —
+    identical distances, indices, and stable tie order."""
+    g0 = random_codes(900, 32, 10)
+    g1 = random_codes(100, 32, 11)          # fits packed capacity (1024)
+    g2 = random_codes(300, 32, 12)          # forces growth
+    q = random_codes(23, 32, 13, with_ties=False)
+    q[1] = g1[4]                            # ties across the appended rows
+    q[2] = g2[9]
+
+    idx = HashIndex(g0, packed=packed)
+    idx.add(g1)
+    assert len(idx) == 1000
+    d_a, i_a = idx.search(q, 12)
+    fresh = HashIndex(np.concatenate([g0, g1]), packed=packed)
+    d_b, i_b = fresh.search(q, 12)
+    np.testing.assert_array_equal(d_a, d_b)
+    np.testing.assert_array_equal(i_a, i_b)
+
+    idx.add(g2)
+    assert len(idx) == 1300
+    d_a, i_a = idx.search(q, 12)
+    full = np.concatenate([g0, g1, g2])
+    d_b, i_b = HashIndex(full, packed=packed).search(q, 12)
+    np.testing.assert_array_equal(d_a, d_b)
+    np.testing.assert_array_equal(i_a, i_b)
+    bd, bi = brute_force(q, full, 12)
+    np.testing.assert_array_equal(d_a, bd)
+    np.testing.assert_array_equal(i_a, bi)
+
+
+def test_index_add_no_recompile():
+    """Appends within capacity must not recompile the search executable
+    (idx_bits covers capacity; the valid count is a runtime arg).  Only a
+    capacity GROWTH may mint a new executable."""
+    from ccmh.retrieval import _search_fn
+
+    g = random_codes(600, 16, 14)
+    idx = HashIndex(g)
+    idx.search(random_codes(4, 16, 15, with_ties=False), 5)
+    idx.add(random_codes(50, 16, 16))     # 650 > 600: grows to 1200
+    idx.search(random_codes(4, 16, 26, with_ties=False), 5)
+    info0 = _search_fn.cache_info()
+    for seed in (17, 18, 19):             # 150 more rows: stays within 1200
+        idx.add(random_codes(50, 16, seed))
+        idx.search(random_codes(4, 16, seed + 10, with_ties=False), 5)
+    info1 = _search_fn.cache_info()
+    assert info1.misses == info0.misses, (info0, info1)
+
+
+def test_index_add_labels_and_errors():
+    g = random_codes(200, 16, 20)
+    labels = (np.random.RandomState(0).rand(200, 5) < 0.4).astype(np.float32)
+    idx = HashIndex(g, labels=labels)
+    add_l = (np.random.RandomState(1).rand(40, 5) < 0.4).astype(np.float32)
+    idx.add(random_codes(40, 16, 21), labels=add_l)
+    assert idx.labels.shape == (240, 5)
+    q = random_codes(6, 16, 22, with_ties=False)
+    ql = (np.random.RandomState(2).rand(6, 5) < 0.4).astype(np.float32)
+    p = idx.precision_at_k(q, ql, 10)
+    assert 0.0 <= p <= 1.0
+
+    with pytest.raises(ValueError, match="labels"):
+        idx.add(random_codes(3, 16, 23))          # labeled index needs labels
+    with pytest.raises(ValueError, match="codes must be"):
+        idx.add(np.ones((3, 8), np.int8))         # wrong width
+    unlabeled = HashIndex(g)
+    with pytest.raises(ValueError, match="labels"):
+        unlabeled.add(random_codes(3, 16, 24), labels=add_l[:3])
+
+    mesh_idx = HashIndex(g, mesh=make_mesh(8))
+    with pytest.raises(NotImplementedError, match="reshard"):
+        mesh_idx.add(random_codes(3, 16, 25))
