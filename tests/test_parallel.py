@@ -408,3 +408,41 @@ def test_shard_gallery_no_allgather(mesh):
            .lower(q, r, ql, rl).compile().as_text())
     assert "all-gather" not in hlo
     assert "all-reduce" in hlo
+
+
+@pytest.mark.slow
+def test_mesh_mid_epoch_preemption_resume(tmp_path):
+    """Graceful preemption under the 8-device DP mesh: a mid-epoch
+    request_preempt writes a devectorized full-state checkpoint tagged
+    with the step survived, and --resume re-enters the epoch at that step
+    with BIT-EXACT final state vs an uninterrupted mesh run."""
+    import numpy as np
+    import jax
+    from tests.test_train_e2e import make_trainer
+
+    t_ref = make_trainer("DSPH", tmp_path / "ref", epochs=2, valid=False,
+                         mesh_shape=(8,))
+    t_ref.train()
+
+    t_a = make_trainer("DSPH", tmp_path / "m", epochs=2, valid=False,
+                       mesh_shape=(8,))
+    orig_step = t_a.train_step
+    def counting_step(state, batch):
+        out = orig_step(state, batch)
+        if t_a.global_step + 1 == 3:   # epoch 1, step 1 of 2
+            t_a.request_preempt()
+        return out
+    t_a.train_step = counting_step
+    t_a.train()
+    assert t_a.global_step == 3
+
+    t_b = make_trainer("DSPH", tmp_path / "m", epochs=2, valid=False,
+                       mesh_shape=(8,), resume=True)
+    t_b.train()
+    assert int(np.asarray(t_b.state.step)) == int(np.asarray(t_ref.state.step))
+    for x, y in zip(jax.tree.leaves(t_ref.state.params),
+                    jax.tree.leaves(t_b.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(t_ref.state.opt_state),
+                    jax.tree.leaves(t_b.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
