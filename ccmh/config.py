@@ -267,6 +267,11 @@ class Config:
     shard_gallery: Optional[bool] = None
     param_dtype: str = "float32"
     compute_dtype: str = "float32"        # "bfloat16" for production
+    # BertAdam m/v moment STORAGE dtype ("bfloat16" halves optimizer HBM
+    # traffic and frees ~600 MB on-chip for the ViT-B/32 towers; update
+    # math stays fp32).  Deliberate deviation from the reference when
+    # changed — default float32 is bit-exact BertAdam.
+    optim_moments_dtype: str = "float32"
     eval_batch: int = 512
     checkpoint_every: int = 0             # orbax checkpoint period (0 = off)
     resume: bool = False                  # auto-resume from save_dir/state_ckpt

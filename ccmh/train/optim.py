@@ -74,6 +74,7 @@ def bert_adam(
     weight_decay: float = 0.0,
     max_grad_norm: float = 1.0,
     block_stacked: Optional[Any] = None,
+    moments_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """Build the transform.
 
@@ -88,14 +89,28 @@ def bert_adam(
     per-parameter-tensor grad clip must then apply per axis-0 slice — a
     whole-leaf norm would couple the layers and diverge from the reference
     trajectory whenever any layer's gradient exceeds max_grad_norm.
+
+    ``moments_dtype`` (e.g. ``jnp.bfloat16``) stores the m/v moments in a
+    reduced dtype — a DELIBERATE deviation from the reference (which keeps
+    fp32 moments), opt-in via ``--set optim_moments_dtype=bfloat16``: the
+    moment update math still runs in fp32 (cast up, accumulate, cast
+    down), but storage and the optimizer's HBM traffic halve (~600 MB
+    less device memory for the ViT-B/32 towers' 150M params).  None keeps
+    exact reference numerics.
     """
     if schedule not in SCHEDULES:
         raise ValueError(f"unknown schedule {schedule!r}")
     sched_fn = SCHEDULES[schedule]
 
+    def moment_zeros(params):
+        if moments_dtype is None:
+            return jax.tree.map(jnp.zeros_like, params)
+        return jax.tree.map(
+            lambda p: jnp.zeros(p.shape, moments_dtype), params)
+
     def init(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return BertAdamState(step=jnp.zeros((), jnp.int32), m=zeros, v=jax.tree.map(jnp.zeros_like, params))
+        return BertAdamState(step=jnp.zeros((), jnp.int32),
+                             m=moment_zeros(params), v=moment_zeros(params))
 
     def update(grads, state, params):
         if params is None:
@@ -115,8 +130,16 @@ def bert_adam(
             else:
                 grads = jax.tree.map(clip_leaf, grads, block_stacked)
 
-        m = jax.tree.map(lambda mu, g: b1 * mu + (1 - b1) * g, state.m, grads)
-        v = jax.tree.map(lambda nu, g: b2 * nu + (1 - b2) * g * g, state.v, grads)
+        # accumulate in fp32 even for reduced-dtype storage: bf16's 8-bit
+        # mantissa would swallow (1-b2)=0.02-scale v increments entirely
+        up = (lambda x: x) if moments_dtype is None else (
+            lambda x: x.astype(jnp.float32))
+        down = (lambda x: x) if moments_dtype is None else (
+            lambda x: x.astype(moments_dtype))
+        m = jax.tree.map(
+            lambda mu, g: down(b1 * up(mu) + (1 - b1) * g), state.m, grads)
+        v = jax.tree.map(
+            lambda nu, g: down(b2 * up(nu) + (1 - b2) * g * g), state.v, grads)
 
         if t_total > 0:
             progress = state.step.astype(jnp.float32) / t_total
@@ -130,7 +153,7 @@ def bert_adam(
             lr_tree = lr  # pytree of per-leaf base learning rates
 
         def leaf_update(mu, nu, p, base_lr):
-            upd = mu / (jnp.sqrt(nu) + eps)
+            upd = up(mu) / (jnp.sqrt(up(nu)) + eps)
             if weight_decay > 0:
                 upd = upd + weight_decay * p
             return -(base_lr * lr_scale) * upd

@@ -79,3 +79,58 @@ def test_lr_tree_for():
     tree = lr_tree_for(params, 1e-3, {"clip": 1e-5})
     assert tree["clip"]["y"]["z"] == 1e-5
     assert tree["img_head"]["w"] == 1e-3
+
+
+def test_bert_adam_bf16_moments():
+    """optim_moments_dtype=bfloat16: moments stored reduced, update math in
+    fp32 — a few steps track the fp32 optimizer within bf16 storage noise,
+    and the default (None) path is byte-identical to before."""
+    import jax
+    import jax.numpy as jnp
+
+    from ccmh.train.optim import bert_adam
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 64).reshape(8, 8),
+              "b": jnp.linspace(0.3, 0.9, 8)}
+    grads_seq = [jax.tree.map(
+        lambda p: jnp.cos(p * (i + 1)) * 0.1, params) for i in range(5)]
+
+    def run(moments_dtype):
+        tx = bert_adam(1e-2, warmup=0.1, t_total=100,
+                       weight_decay=0.01, moments_dtype=moments_dtype)
+        st = tx.init(params)
+        p = params
+        for g in grads_seq:
+            upd, st = tx.update(g, st, p)
+            p = jax.tree.map(lambda a, u: a + u, p, upd)
+        return p, st
+
+    p32, st32 = run(None)
+    pbf, stbf = run(jnp.bfloat16)
+    assert all(x.dtype == jnp.bfloat16 for x in jax.tree.leaves(stbf.m))
+    assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(st32.v))
+    for a, b in zip(jax.tree.leaves(p32), jax.tree.leaves(pbf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-4)
+
+
+def test_bf16_moments_end_to_end(tmp_path):
+    """--set optim_moments_dtype=bfloat16 trains, checkpoints, and resumes
+    (orbax round-trips the bf16 moment leaves)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_train_e2e import make_trainer
+
+    t = make_trainer("DSPH", tmp_path, epochs=2, valid=False,
+                     optim_moments_dtype="bfloat16")
+    t.train_epoch(0)
+    moment_leaves = jax.tree.leaves(t.state.opt_state.m)
+    assert all(x.dtype == jnp.bfloat16 for x in moment_leaves)
+    t.save_full_checkpoint(0)
+    t2 = make_trainer("DSPH", tmp_path, epochs=2, valid=False,
+                      optim_moments_dtype="bfloat16", resume=True)
+    t2.train()
+    assert all(x.dtype == jnp.bfloat16
+               for x in jax.tree.leaves(t2.state.opt_state.m))
+    assert np.isfinite(float(jnp.sum(jax.tree.leaves(t2.state.params)[0])))
