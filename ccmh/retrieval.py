@@ -323,18 +323,22 @@ class HashIndex:
             prepared = np.asarray(pack_codes(jnp.asarray(codes)))
         else:
             prepared = np.where(codes > 0, 1, -1).astype(np.int8)
-        # gallery lives ON DEVICE for the index's lifetime: searches pass
-        # the committed array into topk_search*, whose device_put is then a
-        # no-op — a query never pays the gallery transfer again
-        if mesh is not None:
+        self._place(prepared)
+
+    def _place(self, prepared: np.ndarray) -> None:
+        """Commit the prepared (int8 ±1 / packed uint32) gallery to device:
+        it lives ON DEVICE for the index's lifetime — searches pass the
+        committed array into topk_search*, whose device_put is then a
+        no-op, so a query never pays the gallery transfer again."""
+        if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            per = -(-self.n // mesh.devices.size)
+            per = -(-self.n // self.mesh.devices.size)
             self._codes = jax.device_put(
-                _pad_rows(prepared, per * mesh.devices.size),
-                NamedSharding(mesh, P("data")))
+                _pad_rows(prepared, per * self.mesh.devices.size),
+                NamedSharding(self.mesh, P("data")))
         else:
-            if packed:  # pre-pad to the Pallas gallery block once
+            if self.packed:  # pre-pad to the Pallas gallery block once
                 prepared = _pad_rows(prepared, -(-self.n // 1024) * 1024)
             self._codes = jax.device_put(prepared)
 
@@ -395,6 +399,42 @@ class HashIndex:
         mat = scio.loadmat(path)
         labels = mat.get(label_field) if label_field else None
         return cls(mat[field], labels=labels, **kw)
+
+    def save(self, path: str) -> None:
+        """Persist the index (npz: prepared codes + labels) so a serving
+        restart skips re-encoding the gallery — together with
+        ``--compilation-cache`` and ``Retriever.from_pretrained`` this
+        makes a cold serving start checkpoint-load + index-load only.
+        ``dist_fn`` is code, not data: pass it to :meth:`load` again."""
+        arrays = {"codes": np.asarray(self._codes[:self.n]),
+                  "n": np.int64(self.n), "k_bits": np.int64(self.k_bits),
+                  "packed": np.bool_(self.packed)}
+        if self.labels is not None:
+            arrays["labels"] = self.labels
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str, **kw) -> "HashIndex":
+        """Rebuild a saved index.  Codes were stored PREPARED (int8 ±1 or
+        packed uint32 lanes), so loading is one device transfer — no
+        re-sign, no re-pack.  ``kw`` takes the non-serializable build
+        options again (mesh=, dist_fn=+max_dist=, chunk=)."""
+        with np.load(path) as data:
+            packed = bool(data["packed"])
+            codes = np.asarray(data["codes"])
+            labels = np.asarray(data["labels"]) if "labels" in data else None
+            n, k_bits = int(data["n"]), int(data["k_bits"])
+        if not packed:
+            return cls(codes, labels=labels, **kw)  # int8 ±1 re-prepares to itself
+        if kw.get("dist_fn") is not None:
+            raise ValueError("packed storage implies Hamming ranking")
+        # packed rows skip __init__'s prep: construct over a placeholder of
+        # the right logical shape, then place the stored packed rows
+        self = cls(np.ones((1, k_bits), np.int8), packed=True, **kw)
+        self.n, self.k_bits = n, k_bits
+        self.labels = labels
+        self._place(codes)
+        return self
 
     def _prep_queries(self, queries) -> np.ndarray:
         q = np.asarray(queries)

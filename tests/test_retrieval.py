@@ -376,3 +376,41 @@ def test_index_add_labels_and_errors():
     mesh_idx = HashIndex(g, mesh=make_mesh(8))
     with pytest.raises(NotImplementedError, match="reshard"):
         mesh_idx.add(random_codes(3, 16, 25))
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_index_save_load_roundtrip(tmp_path, packed):
+    """save/load: a serving restart reloads the PREPARED gallery (one
+    device put, no re-encode/re-pack) and searches identically — including
+    an index that had grown through add()."""
+    g = random_codes(700, 32, 30)
+    labels = (np.random.RandomState(3).rand(700, 5) < 0.4).astype(np.float32)
+    idx = HashIndex(g, labels=labels, packed=packed)
+    idx.add(random_codes(400, 32, 31),
+            labels=(np.random.RandomState(4).rand(400, 5) < 0.4).astype(np.float32))
+    path = str(tmp_path / "index.npz")
+    idx.save(path)
+
+    idx2 = HashIndex.load(path)
+    assert len(idx2) == 1100 and idx2.packed == packed
+    assert idx2.labels.shape == (1100, 5)
+    q = random_codes(9, 32, 32, with_ties=False)
+    d_a, i_a = idx.search(q, 15)
+    d_b, i_b = idx2.search(q, 15)
+    np.testing.assert_array_equal(d_a, d_b)
+    np.testing.assert_array_equal(i_a, i_b)
+    ql = (np.random.RandomState(5).rand(9, 5) < 0.4).astype(np.float32)
+    assert idx.precision_at_k(q, ql, 10) == idx2.precision_at_k(q, ql, 10)
+
+
+def test_index_load_into_mesh(tmp_path):
+    """A saved index can be reloaded sharded over a mesh."""
+    g = random_codes(512, 16, 33)
+    path = str(tmp_path / "index.npz")
+    HashIndex(g).save(path)
+    idx = HashIndex.load(path, mesh=make_mesh(8))
+    q = random_codes(5, 16, 34, with_ties=False)
+    d, i = idx.search(q, 8)
+    bd, bi = brute_force(q, g, 8)
+    np.testing.assert_array_equal(d, bd)
+    np.testing.assert_array_equal(i, bi)
