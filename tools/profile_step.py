@@ -188,10 +188,13 @@ def main():
     gflops_fwd = 15.6 * B
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
     opt_bytes = n_params * 4 * 7       # read p,g,m,v + write p,m,v (fp32)
+    flop_note = "" if args.method == "DSPH" else (
+        f" [FLOP model is DSPH's towers+LinearHash; {args.method}'s extra "
+        f"modules add real matmul work on top, so its true floor is higher]")
     log(f"floors: fwd matmul ~{1e3 * gflops_fwd / 197e3:.1f} ms, "
         f"fwd+bwd ~{3 * 1e3 * gflops_fwd / 197e3:.1f} ms, "
         f"optimizer HBM ~{1e3 * opt_bytes / 819e9:.1f} ms "
-        f"({n_params / 1e6:.0f}M params x 28 B)")
+        f"({n_params / 1e6:.0f}M params x 28 B){flop_note}")
 
     # ---- op-level trace
     import os
