@@ -109,7 +109,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "programs are reused across process restarts "
                              "(kills the 20-40 s first-compile on TPU)")
     parser.add_argument("--mesh", type=str, default="1",
-                        help="data-parallel mesh shape, e.g. '8'")
+                        help="device mesh shape: '8' = 8-way data parallel, "
+                             "'4,2' = 4-way data x 2-way tensor (Megatron-"
+                             "sharded towers, parallel/tp.py)")
     parser.add_argument("--shard-gallery", type=str, default="auto",
                         choices=["auto", "true", "false"],
                         help="mesh eval gallery placement: shard the gallery "

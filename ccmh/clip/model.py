@@ -54,6 +54,14 @@ class ClipConfig:
     transformer_width: int = 512
     transformer_heads: int = 8
     transformer_layers: int = 12
+    # qkv weight column order of the TOWER attention params: "packed" =
+    # [q(all heads) | k | v] (the canonical/checkpoint layout, matching the
+    # torch in_proj_weight), "head_major" = [h0(q k v) | h1(q k v) | ...] —
+    # the tensor-parallel layout whose fused-qkv output axis shards cleanly
+    # by attention head over a ("data", "model") mesh (parallel/tp.py).
+    # Checkpoints on disk are ALWAYS packed; the Trainer relayouts live
+    # state at the TP boundary.
+    qkv_layout: str = "packed"
 
     @property
     def is_resnet(self) -> bool:
@@ -78,6 +86,20 @@ class ClipConfig:
             embed_dim=64, image_resolution=32, vision_layers=2, vision_width=128,
             vision_patch_size=16, context_length=77, vocab_size=49408,
             transformer_width=128, transformer_heads=2, transformer_layers=2,
+        )
+
+    @classmethod
+    def vit_l14(cls, resolution: int = 224) -> "ClipConfig":
+        """ViT-L/14 architecture (the largest official ViT release; pass
+        ``resolution=336`` for the @336px variant).  Converted checkpoints
+        infer this shape automatically — the preset exists for
+        weight-free construction (benchmarks, TP sizing: 16 vision /
+        12 text heads shard at tp ∈ {2, 4})."""
+        return cls(
+            embed_dim=768, image_resolution=resolution, vision_layers=24,
+            vision_width=1024, vision_patch_size=14, context_length=77,
+            vocab_size=49408, transformer_width=768, transformer_heads=12,
+            transformer_layers=12,
         )
 
 
@@ -160,18 +182,28 @@ def multi_head_attention(
     n_head: int,
     attn_bias: Optional[jax.Array] = None,
     need_weights: bool = False,
+    head_major: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Self-attention over [B, L, D] with a fused qkv projection.
 
     ``attn_bias`` is an additive [B, 1, L, L] or [L, L] mask (0 / -inf).
     Returned weights are the softmax probabilities averaged over heads (the
     convention of torch MHA that MITH consumes).
+
+    ``head_major`` declares that ``qkv_w``/``qkv_b`` columns are in the
+    tensor-parallel [h0(q k v) | h1(q k v) | ...] order (parallel/tp.py)
+    instead of the canonical [q | k | v] packing.  The head-major path keeps
+    every reshape representable under a head-sharded GSPMD annotation (the
+    merged qkv output axis factors as (H, 3, Dh) with H major, so sharding
+    by head needs no all-to-all) and therefore always uses the XLA
+    formulation — the Pallas kernel is a single-device program.
     """
     B, L, D = x.shape
     head_dim = D // n_head
 
     if (
         ATTN_IMPL == "fused"
+        and not head_major
         and not need_weights
         and (attn_bias is None or attn_bias.ndim == 2)
     ):
@@ -186,8 +218,12 @@ def multi_head_attention(
 
     qkv_flat = x @ p["qkv_w"] + p["qkv_b"]                 # [B, L, 3D]
 
-    qkv = qkv_flat.reshape(B, L, 3, n_head, head_dim)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]     # [B, L, H, Dh]
+    if head_major:
+        qkv = qkv_flat.reshape(B, L, n_head, 3, head_dim)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
+    else:
+        qkv = qkv_flat.reshape(B, L, 3, n_head, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, L, H, Dh]
 
     # Transpose-free attention: q/k/v stay in the qkv matmul's natural
     # [B, L, H, Dh] layout and all reordering lives in dot_general
@@ -219,10 +255,12 @@ def _block(
     n_head: int,
     attn_bias: Optional[jax.Array],
     need_weights: bool = False,
+    head_major: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Pre-LN residual attention block (attention + QuickGELU MLP)."""
     h = _ln(x, p["ln_1"])
-    attn_out, w = multi_head_attention(h, p["attn"], n_head, attn_bias, need_weights)
+    attn_out, w = multi_head_attention(h, p["attn"], n_head, attn_bias,
+                                       need_weights, head_major=head_major)
     if _use_fused_ln():
         # residual add + pre-MLP LN in ONE VMEM pass (ops/layernorm.py)
         from ccmh.ops.layernorm import fused_add_layer_norm
@@ -243,6 +281,7 @@ def transformer(
     need_last_attn: bool = False,
     remat: bool = False,
     unroll: int = 0,
+    head_major: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Run all blocks via lax.scan over the stacked layer parameters.
 
@@ -269,7 +308,8 @@ def transformer(
     n_layers = stacked["ln_1"]["scale"].shape[0]
 
     def block_fn(carry, layer_params):
-        return _block(carry, layer_params, n_head, attn_bias)[0]
+        return _block(carry, layer_params, n_head, attn_bias,
+                      head_major=head_major)[0]
 
     if remat == "dots":
         block_fn = jax.checkpoint(
@@ -294,7 +334,8 @@ def transformer(
         head_layers = jax.tree.map(lambda t: t[:-1], stacked)
         x, _ = jax.lax.scan(body, x, head_layers, unroll=min(u, n_layers - 1))
     last = jax.tree.map(lambda t: t[-1], stacked)
-    return _block(x, last, n_head, attn_bias, need_weights=True)
+    return _block(x, last, n_head, attn_bias, need_weights=True,
+                  head_major=head_major)
 
 
 # ---------------------------------------------------------------------------
@@ -373,7 +414,8 @@ def vision_forward(
 
     need_attn = features == "mith"
     x, attn = transformer(x, p["blocks"], cfg.vision_heads, None,
-                          need_last_attn=need_attn, remat=remat, unroll=unroll)
+                          need_last_attn=need_attn, remat=remat, unroll=unroll,
+                          head_major=cfg.qkv_layout == "head_major")
 
     if features == "mith":
         h = layer_norm(x, p["ln_post"]["scale"], p["ln_post"]["bias"])
@@ -434,7 +476,8 @@ def text_forward(
 
     need_attn = features == "mith"
     x, attn = transformer(x, p["blocks"], cfg.transformer_heads, bias,
-                          need_last_attn=need_attn, remat=remat, unroll=unroll)
+                          need_last_attn=need_attn, remat=remat, unroll=unroll,
+                          head_major=cfg.qkv_layout == "head_major")
 
     eos_pos = jnp.argmax(ids, axis=-1)                     # [B]
     h = layer_norm(x, p["ln_final"]["scale"], p["ln_final"]["bias"])

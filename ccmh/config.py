@@ -258,7 +258,8 @@ class Config:
     # numerics identical (test_scan_unroll_identical).  Set 1 for the
     # classic scan (fastest compile).
     scan_unroll: int = 0
-    mesh_shape: Tuple[int, ...] = (1,)    # data-parallel mesh ("data" axis)
+    mesh_shape: Tuple[int, ...] = (1,)    # (dp,) data mesh, or (dp, tp) for
+    # a 2-D ("data", "model") mesh with Megatron-sharded towers (parallel/tp.py)
     # mesh eval gallery placement: None = auto (shard the gallery axis for
     # hist-path galleries >= 2^20 items, replicate otherwise), True/False
     # force.  Sharding divides per-chip gallery residency by the device

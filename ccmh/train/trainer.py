@@ -172,11 +172,37 @@ class Trainer:
                     f"--pretrained {cfg.pretrained!r} does not exist")
             self.load_checkpoint(cfg.pretrained)
 
+        # tensor parallelism: mesh_shape=(dp, tp) — relayout the live qkv
+        # weights to the head-major TP order BEFORE the loss/encode fns
+        # capture clip_cfg; checkpoints stay canonical (parallel/tp.py)
+        self.tp = tp = cfg.mesh_shape[1] if len(cfg.mesh_shape) > 1 else 1
+        if tp > 1:
+            import dataclasses
+
+            from ccmh.parallel import tp as tp_mod
+
+            tp_mod.validate(self.clip_cfg, tp)
+            clip_cfg = self.clip_cfg = dataclasses.replace(
+                self.clip_cfg, qkv_layout="head_major")
+            self.state = tp_mod.relayout_state(self.state, clip_cfg,
+                                               to_head_major=True)
+
         loss_fn = self.method.make_loss_fn(cfg, clip_cfg)
         custom = (self.method.custom_step(cfg, clip_cfg, self.tx, self.extra_tx)
                   if self.method.custom_step else None)
         self.mesh = None
-        if cfg.mesh_shape and cfg.mesh_shape[0] > 1:
+        if tp > 1:
+            from ccmh.parallel import tp as tp_mod
+
+            self.mesh = tp_mod.make_mesh_2d(cfg.mesh_shape[0], tp)
+            raw_step = make_train_step(loss_fn, self.tx, self.extra_tx, cfg,
+                                       clip_cfg, jit=False, custom_step=custom)
+            self.train_step, self.state = tp_mod.tensor_parallel_train_step(
+                raw_step, self.mesh, self.state)
+            self.logger.info(
+                f"2-D mesh: data={cfg.mesh_shape[0]} x model={tp} "
+                f"(Megatron-sharded towers)")
+        elif cfg.mesh_shape and cfg.mesh_shape[0] > 1:
             from ccmh.parallel.mesh import make_mesh, data_parallel_train_step, replicate
 
             self.mesh = make_mesh(cfg.mesh_shape[0])
@@ -544,7 +570,7 @@ class Trainer:
         the (deterministically keyed) loader past the completed steps."""
         from ccmh.train.checkpoint import save_state
 
-        state = self.state
+        state = self._canonical_state()
         if self.mesh is not None:
             state = jax.tree.map(
                 lambda t: np.asarray(t) if hasattr(t, "shape") else t, state)
@@ -584,9 +610,18 @@ class Trainer:
             self.best_epoch_t = int(meta.get("best_epoch_t", 0))
             self.total_time = meta.get("total_time", 0.0)
         if self.mesh is not None:
-            from ccmh.parallel.mesh import replicate
+            if getattr(self, "tp", 1) > 1:
+                # checkpoints are canonical packed-qkv; return to the live
+                # head-major layout and the Megatron shardings
+                from ccmh.parallel import tp as tp_mod
 
-            state = replicate(self.mesh, state)
+                state = tp_mod.relayout_state(state, self.clip_cfg,
+                                              to_head_major=True)
+                state = tp_mod.shard_state(state, self.mesh)
+            else:
+                from ccmh.parallel.mesh import replicate
+
+                state = replicate(self.mesh, state)
         self.state = state
         self.global_step = int(state.step)
         skip = int(meta.get("step_in_epoch", 0.0)) if meta else 0
@@ -597,12 +632,24 @@ class Trainer:
         self.logger.info(f"resumed from {path} (completed epoch {epoch})")
         return epoch + 1, 0
 
+    def _canonical_state(self) -> TrainState:
+        """The live state in the canonical (packed-qkv) layout — the form
+        every persistence path stores, whatever mesh the run uses."""
+        state = self.state
+        if getattr(self, "tp", 1) > 1:
+            from ccmh.parallel import tp as tp_mod
+
+            state = tp_mod.relayout_state(state, self.clip_cfg,
+                                          to_head_major=False)
+        return state
+
     def save_checkpoint(self, path: str):
+        state = self._canonical_state()
         tree = {
-            "params": self.state.params,
-            "extra": self.state.extra if self.state.extra is not None else {},
-            "aux": self.state.aux,
-            "step": self.state.step,
+            "params": state.params,
+            "extra": state.extra if state.extra is not None else {},
+            "aux": state.aux,
+            "step": state.step,
         }
         save_params_npz(path, jax.tree.map(np.asarray, tree))
         self.logger.info(f"save model to {path}")

@@ -1,0 +1,228 @@
+"""Tensor-parallel (2-D "data" x "model" mesh) tests on the 8-CPU mesh.
+
+The reference has no parallelism at all (SURVEY §2.6); TP is a new
+TPU-native subsystem (ccmh/parallel/tp.py): Megatron-sharded tower
+attention/MLP weights via a head-major qkv relayout, checkpoints kept in
+the canonical packed layout.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccmh.clip.model import (
+    ClipConfig, encode_image, encode_text, init_clip_params, set_attn_impl,
+    text_forward, vision_forward,
+)
+from ccmh.parallel import tp as tp_mod
+from ccmh.parallel.mesh import shard_batch
+from tests.test_parallel import build, make_batch
+
+TINY = ClipConfig.tiny()            # vision_heads=2, transformer_heads=2
+HEAD_MAJOR = dataclasses.replace(TINY, qkv_layout="head_major")
+
+
+@pytest.fixture
+def xla_attn():
+    """Pin the plain-XLA attention path so packed-vs-head-major parity is
+    exact (the packed default would go through the Pallas interpreter on
+    CPU; head-major always uses the XLA formulation)."""
+    set_attn_impl("xla")
+    yield
+    set_attn_impl("fused")
+
+
+def _params(seed=0):
+    return init_clip_params(jax.random.PRNGKey(seed), TINY)
+
+
+def test_relayout_roundtrip():
+    params = _params()
+    there = tp_mod.relayout_clip(params, TINY, to_head_major=True)
+    # the permutation must actually move columns (not be a silent no-op) ...
+    assert not np.allclose(
+        np.asarray(there["text"]["blocks"]["attn"]["qkv_w"]),
+        np.asarray(params["text"]["blocks"]["attn"]["qkv_w"]))
+    back = tp_mod.relayout_clip(there, TINY, to_head_major=False)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_head_major_forward_parity(xla_attn):
+    """Head-major layout + head-major forward == packed forward, bitwise:
+    the permutation reorders qkv columns exactly as the head-major reshape
+    re-reads them, so q/k/v tensors (and everything downstream) are
+    identical."""
+    params = _params()
+    batch = make_batch(4)
+    img, ids = jnp.asarray(batch["image"]), jnp.asarray(batch["text"])
+
+    base_i = encode_image(params, TINY, img)
+    base_t = encode_text(params, TINY, ids)
+
+    hm = tp_mod.relayout_clip(params, TINY, to_head_major=True)
+    got_i = encode_image(hm, HEAD_MAJOR, img)
+    got_t = encode_text(hm, HEAD_MAJOR, ids)
+
+    np.testing.assert_array_equal(np.asarray(base_i), np.asarray(got_i))
+    np.testing.assert_array_equal(np.asarray(base_t), np.asarray(got_t))
+
+
+def test_head_major_token_features_parity(xla_attn):
+    """The MITH token pipeline (tokens_proj + attention rows) must survive
+    the relayout too — it reads per-head attention probabilities."""
+    params = _params()
+    batch = make_batch(3)
+    img = jnp.asarray(batch["image"])
+    hm = tp_mod.relayout_clip(params, TINY, to_head_major=True)
+
+    base = vision_forward(params["visual"], TINY, img, features="mith")
+    got = vision_forward(hm["visual"], HEAD_MAJOR, img, features="mith")
+    np.testing.assert_array_equal(np.asarray(base.tokens_proj),
+                                  np.asarray(got.tokens_proj))
+    np.testing.assert_array_equal(np.asarray(base.cls_attn),
+                                  np.asarray(got.cls_attn))
+
+    ids = jnp.asarray(batch["text"])
+    kpm = jnp.asarray(np.asarray(batch["text"]) == 0)
+    base_t = text_forward(params["text"], TINY, ids, features="mith",
+                          key_padding_mask=kpm)
+    got_t = text_forward(hm["text"], HEAD_MAJOR, ids, features="mith",
+                         key_padding_mask=kpm)
+    np.testing.assert_array_equal(np.asarray(base_t.tokens_proj),
+                                  np.asarray(got_t.tokens_proj))
+    np.testing.assert_array_equal(np.asarray(base_t.eos_attn),
+                                  np.asarray(got_t.eos_attn))
+
+
+def test_validate_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        tp_mod.validate(TINY, 4)            # 4 does not divide 2 heads
+    rn = dataclasses.replace(TINY, vision_layers=(1, 1, 1, 1),
+                             vision_patch_size=None)
+    with pytest.raises(ValueError):
+        tp_mod.validate(rn, 2)              # resnet tower unsupported
+    tp_mod.validate(TINY, 2)                # fine
+
+
+def _bert_adam_state(opt_state):
+    """Unwrap optax.chain nesting down to the BertAdamState."""
+    from ccmh.train.optim import BertAdamState
+
+    stack = [opt_state]
+    while stack:
+        node = stack.pop()
+        if isinstance(node, BertAdamState):
+            return node
+        if isinstance(node, (tuple, list)):
+            stack.extend(node)
+    raise AssertionError("no BertAdamState found")
+
+
+@pytest.mark.slow
+def test_tp_step_matches_single_device():
+    """A (4 data x 2 model) step must reproduce the single-device step:
+    the relayout + Megatron shardings are layout/placement only.  DSPH
+    exercises the extra-optimizer partition (proxy SGD) under TP."""
+    from ccmh.train.methods import get_method
+    from ccmh.train.state import make_main_optimizer, make_train_step
+
+    cfg, state, step = build("DSPH")
+    batch_np = make_batch(16)
+    s1, m1 = step(state, {k: jnp.asarray(v) for k, v in batch_np.items()})
+
+    cfg2, state2, _ = build("DSPH", jit=False)
+    mesh = tp_mod.make_mesh_2d(4, 2)
+    state2 = tp_mod.relayout_state(state2, TINY, to_head_major=True)
+
+    # rebuild the step against the head-major clip cfg
+    method = get_method("DSPH")
+    loss_fn = method.make_loss_fn(cfg2, HEAD_MAJOR)
+    tx = make_main_optimizer(cfg2, state2.params, steps_per_epoch=4)
+    extra_tx = method.extra_tx(cfg2) if method.extra_tx else None
+    raw = make_train_step(loss_fn, tx, extra_tx, cfg2, HEAD_MAJOR, jit=False)
+    with mesh:
+        tp_step, state2 = tp_mod.tensor_parallel_train_step(raw, mesh, state2)
+        s2, m2 = tp_step(state2, shard_batch(mesh, batch_np))
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+
+    # tower weights and BertAdam moments live sharded over "model"
+    qkv_sh = s2.params["clip"]["text"]["blocks"]["attn"]["qkv_w"].sharding
+    assert qkv_sh.spec[-1] == tp_mod.MODEL_AXIS, qkv_sh.spec
+    mu = _bert_adam_state(s2.opt_state).m
+    mu_sh = mu["clip"]["text"]["blocks"]["attn"]["qkv_w"].sharding
+    assert mu_sh.spec[-1] == tp_mod.MODEL_AXIS, mu_sh.spec
+
+    # numerics match the single-device run after undoing the relayout
+    s2_canon = tp_mod.relayout_state(s2, TINY, to_head_major=False)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2_canon.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+    for a, b in zip(jax.tree.leaves(s1.extra), jax.tree.leaves(s2_canon.extra)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+@pytest.mark.slow
+def test_tp_trainer_e2e(tmp_path):
+    """Full Trainer epoch + valid on a (2 data x 2 model) mesh, matching the
+    single-device trainer batch-for-batch; the npz checkpoint written under
+    TP must hold the canonical packed layout."""
+    from ccmh.clip.convert import _unflatten
+    from tests.test_train_e2e import make_trainer
+
+    tp_trainer = make_trainer("DCHMT", tmp_path / "tp", mesh_shape=(2, 2))
+    assert tp_trainer.mesh is not None and tp_trainer.tp == 2
+    assert tp_trainer.clip_cfg.qkv_layout == "head_major"
+    tp_trainer.train_epoch(0)
+    maps_tp = tp_trainer.valid(0)
+
+    ref_trainer = make_trainer("DCHMT", tmp_path / "single")
+    ref_trainer.train_epoch(0)
+    maps_ref = ref_trainer.valid(0)
+
+    for a, b in zip(maps_tp, maps_ref):
+        assert abs(a - b) < 5e-3, (maps_tp, maps_ref)
+
+    # canonical checkpoint: packed layout, matching the single-device run
+    ckpt = str(tmp_path / "tp.npz")
+    tp_trainer.save_checkpoint(ckpt)
+    canon = tp_trainer._canonical_state()
+    with np.load(ckpt) as data:
+        tree = _unflatten({k: data[k] for k in data.files})
+    np.testing.assert_array_equal(
+        tree["params"]["clip"]["text"]["blocks"]["attn"]["qkv_w"],
+        np.asarray(canon.params["clip"]["text"]["blocks"]["attn"]["qkv_w"]))
+    ref_qkv = np.asarray(
+        ref_trainer.state.params["clip"]["text"]["blocks"]["attn"]["qkv_w"])
+    np.testing.assert_allclose(
+        tree["params"]["clip"]["text"]["blocks"]["attn"]["qkv_w"],
+        ref_qkv, atol=5e-5)
+
+
+@pytest.mark.slow
+def test_tp_resume_bit_exact(tmp_path):
+    """Full-state checkpoint under TP resumes bit-exactly: save after epoch
+    0, resume, train epoch 1, compare against an uninterrupted TP run."""
+    from tests.test_train_e2e import make_trainer
+
+    a = make_trainer("DSPH", tmp_path / "a", mesh_shape=(2, 2), epochs=2,
+                     valid=False)
+    a.train()
+
+    b = make_trainer("DSPH", tmp_path / "b", mesh_shape=(2, 2), epochs=2,
+                     valid=False)
+    b.train_epoch(0)
+    b.save_full_checkpoint(0)
+
+    c = make_trainer("DSPH", tmp_path / "b", mesh_shape=(2, 2), epochs=2,
+                     valid=False, resume=True)
+    c.train()
+
+    ca = tp_mod.relayout_state(a.state, TINY, to_head_major=False)
+    cc = tp_mod.relayout_state(c.state, TINY, to_head_major=False)
+    for x, y in zip(jax.tree.leaves(ca.params), jax.tree.leaves(cc.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
