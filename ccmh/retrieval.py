@@ -476,8 +476,30 @@ class Retriever:
     tests/test_retrieval.py).
     """
 
-    def __init__(self, method, params, aux, cfg, clip_cfg):
+    def __init__(self, method, params, aux, cfg, clip_cfg, tp_mesh=None):
+        """``tp_mesh``: a 2-D ``("data", "model")`` mesh (parallel/tp.py
+        ``make_mesh_2d``) Megatron-shards the CLIP towers across chips for
+        serving — the latency lever when a query batch cannot be grown to
+        fill a slice: one query's tower FLOPs spread over the ``model``
+        axis.  ``params`` must be in the canonical packed-qkv layout (the
+        form every checkpoint stores); the relayout happens here."""
         self.method = method
+        self.tp_mesh = tp_mesh
+        if tp_mesh is not None:
+            import dataclasses
+
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ccmh.parallel import tp as tp_mod
+
+            tp = tp_mesh.shape[tp_mod.MODEL_AXIS]
+            tp_mod.validate(clip_cfg, tp)
+            clip_cfg = dataclasses.replace(clip_cfg, qkv_layout="head_major")
+            params = tp_mod.shard_state(
+                tp_mod.relayout_state(params, clip_cfg, to_head_major=True),
+                tp_mesh)
+            aux = jax.device_put(aux, NamedSharding(tp_mesh, P()))
+            self._dp = tp_mesh.shape[tp_mod.DATA_AXIS]
         self.params = params
         self.aux = aux
         self.cfg = cfg
@@ -505,8 +527,17 @@ class Retriever:
 
     @classmethod
     def from_trainer(cls, trainer) -> "Retriever":
-        return cls(trainer.method, trainer.state.params, trainer.state.aux,
-                   trainer.cfg, trainer.clip_cfg)
+        """A TP trainer's live state is head-major/sharded; take the
+        canonical form and re-apply its mesh here."""
+        tp_mesh = trainer.mesh if getattr(trainer, "tp", 1) > 1 else None
+        state = trainer._canonical_state()
+        clip_cfg = trainer.clip_cfg
+        if tp_mesh is not None:
+            import dataclasses
+
+            clip_cfg = dataclasses.replace(clip_cfg, qkv_layout="packed")
+        return cls(trainer.method, state.params, state.aux,
+                   trainer.cfg, clip_cfg, tp_mesh=tp_mesh)
 
     @classmethod
     def from_pretrained(cls, cfg, clip_cfg=None) -> "Retriever":
@@ -549,16 +580,34 @@ class Retriever:
         extra_tx = method.extra_tx(cfg) if method.extra_tx else None
         state = init_state(k_state, params, extra, aux, tx, extra_tx)
         state = restore_state(cfg.pretrained, state, cfg.method, clip_cfg)
-        return cls(method, state.params, state.aux, cfg, clip_cfg)
+        tp_mesh = None
+        mesh_shape = getattr(cfg, "mesh_shape", (1,))
+        if len(mesh_shape) > 1 and mesh_shape[1] > 1:
+            from ccmh.parallel.tp import make_mesh_2d
+
+            tp_mesh = make_mesh_2d(mesh_shape[0], mesh_shape[1])
+        return cls(method, state.params, state.aux, cfg, clip_cfg,
+                   tp_mesh=tp_mesh)
 
     # ------------------------------------------------------------- encoding
     def _chunked(self, fn, arr, batch_size: int) -> np.ndarray:
         out = []
         bs = min(batch_size, max(1, arr.shape[0]))
+        if self.tp_mesh is not None and self._dp > 1:
+            bs = -(-bs // self._dp) * self._dp   # data-shardable chunk
         for s in range(0, arr.shape[0], bs):
             part = arr[s:s + bs]
-            padded = _pad_rows(np.asarray(part), bs)
-            codes = fn(self.params, self.aux, jnp.asarray(padded))
+            padded = jnp.asarray(_pad_rows(np.asarray(part), bs))
+            if self.tp_mesh is not None:
+                # pin the query placement: rows over "data" (when dp > 1),
+                # replicated over "model" — GSPMD propagates the rest
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ccmh.parallel.tp import DATA_AXIS
+
+                spec = P(DATA_AXIS) if self._dp > 1 else P()
+                padded = jax.device_put(padded, NamedSharding(self.tp_mesh, spec))
+            codes = fn(self.params, self.aux, padded)
             out.append(np.asarray(codes[:part.shape[0]]))
         return np.concatenate(out)
 

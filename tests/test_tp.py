@@ -203,6 +203,68 @@ def test_tp_trainer_e2e(tmp_path):
         ref_qkv, atol=5e-5)
 
 
+def test_tp_retriever_encode_parity(xla_attn):
+    """Serving under TP (the latency-bound use case docs/tp.md names):
+    a Retriever on a (2 data x 2 model) mesh must encode bitwise like the
+    single-device one — the relayout + shardings are placement only —
+    with the tower weights actually living model-sharded."""
+    from ccmh.config import Config
+    from ccmh.retrieval import Retriever
+    from ccmh.train.methods import get_method
+    from ccmh.clip.model import init_clip_params
+
+    cfg = Config(method="DSPH", output_dim=16, nclass=8, batch_size=8,
+                 epochs=1, resolution=TINY.image_resolution, train_num=16)
+    method = get_method("DSPH")
+    key = jax.random.PRNGKey(0)
+    heads, extra, aux = method.init(key, cfg, TINY)
+    params = {"clip": init_clip_params(key, TINY), **heads}
+
+    base = Retriever(method, params, aux, cfg, TINY)
+    mesh = tp_mod.make_mesh_2d(2, 2)
+    tpr = Retriever(method, params, aux, cfg, TINY, tp_mesh=mesh)
+    assert tpr.clip_cfg.qkv_layout == "head_major"
+    qkv_sh = tpr.params["clip"]["text"]["blocks"]["attn"]["qkv_w"].sharding
+    assert qkv_sh.spec[-1] == tp_mod.MODEL_AXIS, qkv_sh.spec
+
+    rng = np.random.RandomState(0)
+    ids = np.tile(np.asarray([[49406] + [320] * 5 + [49407] + [0] * 25],
+                             np.int32), (5, 1))
+    imgs = rng.randn(5, TINY.image_resolution, TINY.image_resolution,
+                     3).astype(np.float32)
+    # 5 rows through bs=2 exercises the dp-rounded chunk (bs -> 2) + padding
+    np.testing.assert_array_equal(base.encode_texts(ids),
+                                  tpr.encode_texts(ids, batch_size=2))
+    np.testing.assert_array_equal(base.encode_images(imgs),
+                                  tpr.encode_images(imgs, batch_size=2))
+
+
+@pytest.mark.slow
+def test_tp_retriever_from_trainer(tmp_path, xla_attn):
+    """from_trainer on a TP trainer re-canonicalizes the live head-major
+    state and re-applies the mesh; codes are bitwise identical to a plain
+    Retriever over the same trainer's canonical (packed) weights."""
+    from ccmh.retrieval import Retriever
+    from tests.test_train_e2e import make_trainer
+
+    tp_trainer = make_trainer("DSPH", tmp_path / "tp", mesh_shape=(2, 2))
+    tp_trainer.train_epoch(0)
+    tpr = Retriever.from_trainer(tp_trainer)
+    assert tpr.tp_mesh is not None
+
+    canon = tp_trainer._canonical_state()
+    ref = Retriever(tp_trainer.method,
+                    jax.tree.map(np.asarray, canon.params),
+                    jax.tree.map(np.asarray, canon.aux),
+                    tp_trainer.cfg, TINY)
+    assert ref.tp_mesh is None
+
+    ids = np.tile(np.asarray([[49406] + [320] * 5 + [49407] + [0] * 25],
+                             np.int32), (4, 1))
+    np.testing.assert_array_equal(np.asarray(tpr.encode_texts(ids)),
+                                  np.asarray(ref.encode_texts(ids)))
+
+
 @pytest.mark.slow
 def test_tp_resume_bit_exact(tmp_path):
     """Full-state checkpoint under TP resumes bit-exactly: save after epoch
