@@ -123,6 +123,77 @@ def _bert_adam_state(opt_state):
     raise AssertionError("no BertAdamState found")
 
 
+def _tp_build(method_name):
+    """Mirror test_parallel.build() but with the head-major clip config:
+    same state (the relayout happens after init), loss/step rebuilt against
+    HEAD_MAJOR so the jitted program consumes the TP layout."""
+    from ccmh.train.methods import get_method
+    from ccmh.train.state import make_main_optimizer, make_train_step
+
+    cfg, state, _ = build(method_name, jit=False)
+    state = tp_mod.relayout_state(state, TINY, to_head_major=True)
+    method = get_method(method_name)
+    loss_fn = method.make_loss_fn(cfg, HEAD_MAJOR)
+    tx = make_main_optimizer(cfg, state.params, steps_per_epoch=4)
+    extra_tx = method.extra_tx(cfg) if method.extra_tx else None
+    raw = make_train_step(loss_fn, tx, extra_tx, cfg, HEAD_MAJOR, jit=False)
+    return cfg, state, raw
+
+
+from ccmh.train.methods import available_methods
+
+ALL_METHODS = available_methods()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ALL_METHODS)
+def test_tp_all_methods(method):
+    """Megatron-sharded == single-device for EVERY registered method (the
+    registry is the coverage claim, mirroring test_dp_all_methods): two
+    steps on a (4 data x 2 model) mesh so mutated aux feeds back through
+    the loss once.  On top of the DP hazards, TP adds: head-sharded
+    attention probabilities under MITH's need_weights last block (the mean
+    over heads becomes a model-axis collective), TwDH's BatchNorm feeding
+    from an all-reduced tower output, and every extra-optimizer partition
+    updating replicated weights from model-axis-reduced gradients."""
+    from tests.test_parallel import _batch_for
+
+    batch_np = _batch_for(method, make_batch(16))
+    batch2_np = _batch_for(method, make_batch(16, seed=1))
+    batch2_np["index"] = batch2_np["index"] + 16
+
+    cfg, state, step = build(method)
+    jb = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    jb2 = {k: jnp.asarray(v) for k, v in batch2_np.items()}
+    s1, m1 = step(state, jb)
+    s1, m1b = step(s1, jb2)
+
+    cfg2, state2, raw = _tp_build(method)
+    mesh = tp_mod.make_mesh_2d(4, 2)
+    with mesh:
+        tp_step, state2 = tp_mod.tensor_parallel_train_step(raw, mesh, state2)
+        s2, m2 = tp_step(state2, shard_batch(mesh, batch_np))
+        s2, m2b = tp_step(s2, shard_batch(mesh, batch2_np))
+
+    # Loss values get a RELATIVE budget: row-sharding a contraction splits
+    # every tower matmul into per-chip partial sums, which legitimately
+    # perturbs fp32 rounding by ~1 ulp — and a threshold-masked,
+    # count-normalized loss (DCHMT's sim_threshold clipping) jumps a whole
+    # quantum when one pair crosses the mask (measured: loss off by 7e-3
+    # while params after two steps agree to 3e-6; the param/aux/extra
+    # asserts below are the actual parity claim).
+    l1, l2 = float(m1b["loss"]), float(m2b["loss"])
+    assert abs(l1 - l2) < 2e-4 + 1e-3 * abs(l1), (l1, l2)
+    s2c = tp_mod.relayout_state(s2, TINY, to_head_major=False)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2c.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.aux), jax.tree.leaves(s2c.aux)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    if s1.extra is not None:
+        for a, b in zip(jax.tree.leaves(s1.extra), jax.tree.leaves(s2c.extra)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 @pytest.mark.slow
 def test_tp_step_matches_single_device():
     """A (4 data x 2 model) step must reproduce the single-device step:
