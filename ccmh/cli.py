@@ -112,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="device mesh shape: '8' = 8-way data parallel, "
                              "'4,2' = 4-way data x 2-way tensor (Megatron-"
                              "sharded towers, parallel/tp.py)")
+    parser.add_argument("--fsdp", action="store_true", default=False,
+                        help="ZeRO-style fully-sharded data parallelism: "
+                             "large tower weights + optimizer moments shard "
+                             "over the mesh's data axis instead of "
+                             "replicating (parallel/fsdp.py; composes with "
+                             "a dp,tp mesh)")
     parser.add_argument("--shard-gallery", type=str, default="auto",
                         choices=["auto", "true", "false"],
                         help="mesh eval gallery placement: shard the gallery "
@@ -164,6 +170,7 @@ def config_from_args(argv=None) -> Config:
         resume=args.resume, profile=args.profile,
         compilation_cache=args.compilation_cache,
         mesh_shape=tuple(int(x) for x in args.mesh.split(",")),
+        fsdp=args.fsdp,
         shard_gallery={"auto": None, "true": True, "false": False}[
             args.shard_gallery],
     )

@@ -260,6 +260,11 @@ class Config:
     scan_unroll: int = 0
     mesh_shape: Tuple[int, ...] = (1,)    # (dp,) data mesh, or (dp, tp) for
     # a 2-D ("data", "model") mesh with Megatron-sharded towers (parallel/tp.py)
+    # ZeRO-style fully-sharded data parallelism (parallel/fsdp.py): large
+    # tower weights + BertAdam moments shard over the "data" axis instead
+    # of replicating (per-chip tower state divides by dp; composes with a
+    # (dp, tp) mesh).  Numerics match plain DP; collective schedule differs.
+    fsdp: bool = False
     # mesh eval gallery placement: None = auto (shard the gallery axis for
     # hist-path galleries >= 2^20 items, replicate otherwise), True/False
     # force.  Sharding divides per-chip gallery residency by the device

@@ -191,26 +191,43 @@ class Trainer:
         custom = (self.method.custom_step(cfg, clip_cfg, self.tx, self.extra_tx)
                   if self.method.custom_step else None)
         self.mesh = None
+        self.fsdp = bool(getattr(cfg, "fsdp", False)) and (
+            tp > 1 or (cfg.mesh_shape and cfg.mesh_shape[0] > 1))
         if tp > 1:
             from ccmh.parallel import tp as tp_mod
 
             self.mesh = tp_mod.make_mesh_2d(cfg.mesh_shape[0], tp)
             raw_step = make_train_step(loss_fn, self.tx, self.extra_tx, cfg,
                                        clip_cfg, jit=False, custom_step=custom)
-            self.train_step, self.state = tp_mod.tensor_parallel_train_step(
-                raw_step, self.mesh, self.state)
+            if self.fsdp:
+                from ccmh.parallel import fsdp as fsdp_mod
+
+                self.train_step, self.state = fsdp_mod.fsdp_train_step(
+                    raw_step, self.mesh, self.state)
+            else:
+                self.train_step, self.state = tp_mod.tensor_parallel_train_step(
+                    raw_step, self.mesh, self.state)
             self.logger.info(
                 f"2-D mesh: data={cfg.mesh_shape[0]} x model={tp} "
-                f"(Megatron-sharded towers)")
+                f"(Megatron-sharded towers"
+                + (", FSDP weight/moment sharding)" if self.fsdp else ")"))
         elif cfg.mesh_shape and cfg.mesh_shape[0] > 1:
             from ccmh.parallel.mesh import make_mesh, data_parallel_train_step, replicate
 
             self.mesh = make_mesh(cfg.mesh_shape[0])
             raw_step = make_train_step(loss_fn, self.tx, self.extra_tx, cfg,
                                        clip_cfg, jit=False, custom_step=custom)
-            self.train_step = data_parallel_train_step(raw_step, self.mesh)
-            self.state = replicate(self.mesh, self.state)
-            self.logger.info(f"data-parallel mesh over {cfg.mesh_shape[0]} devices")
+            if self.fsdp:
+                from ccmh.parallel import fsdp as fsdp_mod
+
+                self.train_step, self.state = fsdp_mod.fsdp_train_step(
+                    raw_step, self.mesh, self.state)
+            else:
+                self.train_step = data_parallel_train_step(raw_step, self.mesh)
+                self.state = replicate(self.mesh, self.state)
+            self.logger.info(
+                f"data-parallel mesh over {cfg.mesh_shape[0]} devices"
+                + (" (FSDP weight/moment sharding)" if self.fsdp else ""))
         else:
             self.train_step = make_train_step(loss_fn, self.tx, self.extra_tx,
                                               cfg, clip_cfg, custom_step=custom)
@@ -617,6 +634,13 @@ class Trainer:
 
                 state = tp_mod.relayout_state(state, self.clip_cfg,
                                               to_head_major=True)
+            if getattr(self, "fsdp", False):
+                from ccmh.parallel import fsdp as fsdp_mod
+
+                state = fsdp_mod.shard_state(state, self.mesh)
+            elif getattr(self, "tp", 1) > 1:
+                from ccmh.parallel import tp as tp_mod
+
                 state = tp_mod.shard_state(state, self.mesh)
             else:
                 from ccmh.parallel.mesh import replicate
