@@ -17,7 +17,7 @@ import numpy as np
 import pytest
 
 from ccmh.retrieval import HashIndex
-from ccmh.serve import RetrievalService, ServiceError, serve
+from ccmh.serve import RetrievalService, ServiceError, _Batcher, serve
 from tests.test_retrieval import TINY, _build_retriever, _demo_ids, random_codes
 
 
@@ -147,3 +147,136 @@ def test_service_requires_single_modality():
     service = RetrievalService(retriever, {})
     with pytest.raises(ServiceError):
         service.encode({"texts": ["a"], "ids": [[0]]})
+
+
+# --------------------------------------------------- dynamic micro-batching
+
+def _fanout(n, fn):
+    """Run fn(i) on n threads released together; return results in order."""
+    barrier = threading.Barrier(n)
+    out, errs = [None] * n, [None] * n
+
+    def worker(i):
+        barrier.wait()
+        try:
+            out[i] = fn(i)
+        except BaseException as exc:  # noqa: BLE001
+            errs[i] = exc
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for exc in errs:
+        if exc is not None:
+            raise exc
+    return out
+
+
+def test_batcher_coalesces_and_splits():
+    calls = []
+
+    def run(rows):
+        calls.append(rows.shape[0])
+        return rows * 2
+
+    b = _Batcher(run, max_rows=16, window_ms=300)
+    out = _fanout(6, lambda i: b.submit(np.full((1, 4), i, np.float32)))
+    for i in range(6):
+        np.testing.assert_array_equal(out[i], np.full((1, 4), 2 * i))
+    stats = b.stats()
+    assert stats["requests"] == 6 and stats["rows"] == 6
+    assert stats["batches"] < 6          # coalescing actually happened
+    assert sum(calls) == 6
+
+
+def test_batcher_tuple_outputs_and_row_cap():
+    calls = []
+
+    def run(rows):
+        calls.append(rows.shape[0])
+        return rows + 1, rows - 1
+
+    b = _Batcher(run, max_rows=4, window_ms=300)
+    out = _fanout(6, lambda i: b.submit(np.full((2, 3), i, np.float32)))
+    for i in range(6):
+        plus, minus = out[i]
+        np.testing.assert_array_equal(plus, np.full((2, 3), i + 1))
+        np.testing.assert_array_equal(minus, np.full((2, 3), i - 1))
+    assert all(c <= 4 for c in calls)    # groups respect max_rows
+    # a single oversized request still goes through alone
+    big = b.submit(np.zeros((10, 3), np.float32))
+    assert big[0].shape == (10, 3)
+    assert calls[-1] == 10
+
+
+def test_batcher_propagates_errors_to_all_waiters():
+    def run(rows):
+        raise RuntimeError("device fell over")
+
+    b = _Batcher(run, max_rows=8, window_ms=100)
+    with pytest.raises(RuntimeError, match="device fell over"):
+        b.submit(np.zeros((1, 2), np.float32))
+
+
+def test_service_microbatched_encode_matches_serial():
+    """Concurrent single-row encodes coalesce into fewer device calls and
+    return exactly the rows a serial encode produces."""
+    retriever, *_ = _build_retriever()
+    service = RetrievalService(retriever, {}, window_ms=300, max_batch=64)
+    ids = _demo_ids(8)
+    want = retriever.encode_texts(ids).astype(int)
+    out = _fanout(8, lambda i: service.encode({"ids": [ids[i].tolist()]}))
+    for i in range(8):
+        np.testing.assert_array_equal(np.asarray(out[i]["codes"][0]), want[i])
+    stats = service.healthz()["batching"]["text"]
+    assert stats["requests"] == 8 and stats["batches"] < 8
+
+
+def test_service_microbatched_search_matches_direct():
+    retriever, *_ = _build_retriever()
+    gallery = random_codes(48, 16, seed=21, with_ties=False)
+    index = HashIndex(gallery)
+    service = RetrievalService(retriever, {"image": index},
+                               window_ms=300, max_batch=64)
+    ids = _demo_ids(6)
+    codes = retriever.encode_texts(ids)
+    want_d, want_i = index.search(codes, 5)
+    out = _fanout(6, lambda i: service.search(
+        {"ids": [ids[i].tolist()], "k": 5}))
+    for i in range(6):
+        np.testing.assert_array_equal(np.asarray(out[i]["indices"][0]),
+                                      want_i[i])
+        np.testing.assert_array_equal(np.asarray(out[i]["distances"][0]),
+                                      want_d[i])
+    stats = service.healthz()["batching"]["search"]
+    assert stats["requests"] == 6 and stats["batches"] < 6
+
+
+def test_bucket_padding_parity_across_request_sizes():
+    """Odd-sized requests ride power-of-two buckets (bounded executable
+    set); padded rows must never leak into results."""
+    retriever, *_ = _build_retriever()
+    service = RetrievalService(retriever, {}, max_batch=4)
+    ids = _demo_ids(7)
+    want = retriever.encode_texts(ids).astype(int)
+    start = 0
+    for size in (1, 3, 2, 1):    # buckets 1, 4, 2, 1 (and 7 > max_batch=4
+        part = ids[start:start + size]  # exercises the chunk loop via 3+4)
+        got = service.encode({"ids": part.tolist()})
+        np.testing.assert_array_equal(np.asarray(got["codes"]),
+                                      want[start:start + size])
+        start += size
+    got = service.encode({"ids": ids.tolist()})   # 7 rows > max_batch
+    np.testing.assert_array_equal(np.asarray(got["codes"]), want)
+
+
+def test_no_batching_mode_still_serves():
+    retriever, *_ = _build_retriever()
+    service = RetrievalService(retriever, {}, batching=False)
+    ids = _demo_ids(2)
+    got = service.encode({"ids": ids.tolist()})
+    want = retriever.encode_texts(ids).astype(int)
+    np.testing.assert_array_equal(np.asarray(got["codes"]), want)
+    assert service.healthz()["batching"]["enabled"] is False
