@@ -74,6 +74,38 @@ def _transform(img, resolution: int, is_train: bool) -> np.ndarray:
     return normalize_u8(_transform_u8(img, resolution, is_train))
 
 
+def images_from_bytes(blobs, resolution: int, is_train: bool = False) -> np.ndarray:
+    """Decode raw image byte strings -> [N, R, R, 3] CLIP-normalized float32.
+
+    The serving ingestion path: JPEGs go through the native C++ batch loader
+    (GIL-free, threaded) when it is available; anything the native loader
+    rejects (PNG/WebP/corrupt-JPEG) falls back to PIL per item.  Raises
+    ``ValueError`` naming the first undecodable item.
+    """
+    import io
+
+    from ccmh.data import native
+
+    blobs = list(blobs)
+    n = len(blobs)
+    if n == 0:
+        return np.empty((0, resolution, resolution, 3), np.float32)
+    if native.available():
+        images, ok = native.decode_batch_mem(blobs, resolution, is_train)
+    else:
+        images = np.empty((n, resolution, resolution, 3), np.float32)
+        ok = np.zeros(n, bool)
+    for i in np.flatnonzero(~ok):
+        from PIL import Image
+
+        try:
+            img = Image.open(io.BytesIO(blobs[i])).convert("RGB")
+        except Exception as exc:
+            raise ValueError(f"image {i} is not a decodable image: {exc}") from None
+        images[i] = _transform(img, resolution, is_train)
+    return images
+
+
 class CrossModalDataset:
     """Indexable dataset over one split."""
 

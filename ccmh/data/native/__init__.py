@@ -63,6 +63,13 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
+    lib.ccmh_batch_load_mem.restype = ctypes.c_int
+    lib.ccmh_batch_load_mem.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+    ]
     return lib
 
 
@@ -108,6 +115,40 @@ def decode_batch(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n_threads,
+    )
+    return out, ok.astype(bool)
+
+
+def decode_batch_mem(
+    blobs: Sequence[bytes],
+    resolution: int,
+    is_train: bool = False,
+    n_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode in-memory JPEG byte strings into [N, R, R, 3] float32
+    (CLIP-normalized NHWC) — the serving-path twin of :func:`decode_batch`
+    (clients POST raw image bytes; no filesystem round trip).  Returns
+    ``(images, ok)``; callers fall back to PIL for ``~ok`` items."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable")
+    n = len(blobs)
+    out = np.empty((n, resolution, resolution, 3), np.float32)
+    ok = np.zeros(n, np.uint8)
+    # c_char_p would truncate at the first NUL byte (JPEG data is binary);
+    # hold explicit byte buffers and pass their addresses as void*.
+    bufs = [(ctypes.c_ubyte * len(b)).from_buffer_copy(b) if len(b) else None
+            for b in blobs]
+    c_ptrs = (ctypes.c_void_p * n)(
+        *[ctypes.addressof(b) if b is not None else None for b in bufs])
+    c_lens = (ctypes.c_int64 * n)(*[len(b) for b in blobs])
+    if n_threads <= 0:
+        n_threads = min(n, os.cpu_count() or 8)
+    lib.ccmh_batch_load_mem(
+        c_ptrs, c_lens, n, resolution, int(is_train),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        max(1, n_threads),
     )
     return out, ok.astype(bool)
 

@@ -46,6 +46,23 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
+// Shared scanline loop once a source manager is attached.
+bool read_decompress(jpeg_decompress_struct& cinfo, std::vector<uint8_t>& rgb,
+                     int& w, int& h) {
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  w = cinfo.output_width;
+  h = cinfo.output_height;
+  rgb.resize(static_cast<size_t>(w) * h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = rgb.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  return true;
+}
+
 // Decode a JPEG file into an RGB uint8 buffer.  Returns false on failure.
 bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
   FILE* fp = std::fopen(path, "rb");
@@ -62,20 +79,30 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>& rgb, int& w, int& h) {
   }
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, fp);
-  jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
-  jpeg_start_decompress(&cinfo);
-  w = cinfo.output_width;
-  h = cinfo.output_height;
-  rgb.resize(static_cast<size_t>(w) * h * 3);
-  while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = rgb.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
-    jpeg_read_scanlines(&cinfo, &row, 1);
-  }
-  jpeg_finish_decompress(&cinfo);
+  const bool good = read_decompress(cinfo, rgb, w, h);
   jpeg_destroy_decompress(&cinfo);
   std::fclose(fp);
-  return true;
+  return good;
+}
+
+// Decode a JPEG from an in-memory buffer (the serving path: clients POST
+// raw image bytes; no temp files).  Returns false on failure.
+bool decode_jpeg_mem(const uint8_t* buf, size_t len, std::vector<uint8_t>& rgb,
+                     int& w, int& h) {
+  if (buf == nullptr || len == 0) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  const bool good = read_decompress(cinfo, rgb, w, h);
+  jpeg_destroy_decompress(&cinfo);
+  return good;
 }
 
 // PIL bicubic kernel (a = -0.5), support 2.
@@ -177,12 +204,8 @@ void resize_rgb(const float* src, int sw, int sh, float* dst, int dw, int dh) {
 //   out_u8 [R, R, 3]  post-resize uint8, pre-normalization (the decoded-
 //                     tensor cache path, data/cache.py — normalization then
 //                     happens on-device, clip/model.py normalize_pixels)
-bool load_one(const char* path, int resolution, int is_train, float* out_f32,
-              uint8_t* out_u8) {
-  std::vector<uint8_t> rgb;
-  int w = 0, h = 0;
-  if (!decode_jpeg(path, rgb, w, h)) return false;
-
+bool process_rgb(const std::vector<uint8_t>& rgb, int w, int h, int resolution,
+                 int is_train, float* out_f32, uint8_t* out_u8) {
   std::vector<float> fsrc(rgb.size());
   for (size_t i = 0; i < rgb.size(); ++i) fsrc[i] = static_cast<float>(rgb[i]);
 
@@ -234,6 +257,22 @@ bool load_one(const char* path, int resolution, int is_train, float* out_f32,
   return true;
 }
 
+bool load_one(const char* path, int resolution, int is_train, float* out_f32,
+              uint8_t* out_u8) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg(path, rgb, w, h)) return false;
+  return process_rgb(rgb, w, h, resolution, is_train, out_f32, out_u8);
+}
+
+bool load_one_mem(const uint8_t* buf, size_t len, int resolution, int is_train,
+                  float* out_f32, uint8_t* out_u8) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg_mem(buf, len, rgb, w, h)) return false;
+  return process_rgb(rgb, w, h, resolution, is_train, out_f32, out_u8);
+}
+
 }  // namespace
 
 extern "C" {
@@ -278,6 +317,34 @@ int ccmh_batch_load_u8(const char** paths, int n, int resolution, int is_train,
       if (i >= n) break;
       const bool good =
           load_one(paths[i], resolution, is_train, nullptr, out + stride * i);
+      ok[i] = good ? 1 : 0;
+      if (!good) failures.fetch_add(1);
+    }
+  };
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+  return failures.load();
+}
+
+// In-memory variant (the serving path): bufs[i]/lens[i] hold raw JPEG
+// bytes (e.g. base64-decoded request payloads).  Same transform and
+// float32 CLIP-normalized NHWC output as ccmh_batch_load.
+int ccmh_batch_load_mem(const uint8_t** bufs, const int64_t* lens, int n,
+                        int resolution, int is_train, float* out, uint8_t* ok,
+                        int n_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t stride = static_cast<size_t>(resolution) * resolution * 3;
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      const bool good = load_one_mem(bufs[i], static_cast<size_t>(lens[i]),
+                                     resolution, is_train, out + stride * i,
+                                     nullptr);
       ok[i] = good ? 1 : 0;
       if (!good) failures.fetch_add(1);
     }

@@ -12,7 +12,9 @@ Endpoints (all JSON):
 * ``GET  /healthz`` — liveness + model/gallery metadata.
 * ``POST /v1/encode`` — ``{"texts": [...]}`` or ``{"images": [[...]]}``
   (nested lists, CLIP-normalized NHWC) or ``{"images_b64": "<base64 .npy>"}``
-  → ``{"codes": [[±1, ...]]}``.
+  or ``{"images_jpeg_b64": ["<base64 image file>", ...]}`` (raw JPEG/PNG
+  bytes — decoded + resized + normalized server-side, JPEGs through the
+  native C++ batch loader) → ``{"codes": [[±1, ...]]}``.
 * ``POST /v1/search`` — an encode body plus ``{"k": 10, "index": "image"}``
   → ``{"indices": [[...]], "distances": [[...]]}`` (exact Hamming top-k,
   the stable tie order of the exact eval path).
@@ -259,12 +261,12 @@ class RetrievalService:
         Validation and tokenization run on the calling thread; the device
         call goes through the modality's batcher, coalescing with any
         concurrent requests (see _Batcher)."""
-        given = [k for k in ("texts", "ids", "images", "images_b64")
-                 if k in body]
+        given = [k for k in ("texts", "ids", "images", "images_b64",
+                             "images_jpeg_b64") if k in body]
         if len(given) != 1:
             raise ServiceError(
                 "provide exactly one of 'texts', 'ids', 'images', "
-                f"'images_b64' (got {given or 'none'})")
+                f"'images_b64', 'images_jpeg_b64' (got {given or 'none'})")
         if "texts" in body or "ids" in body:
             if "texts" in body:
                 texts = body["texts"]
@@ -286,10 +288,13 @@ class RetrievalService:
                     return self.retriever.encode_texts(
                         ids, batch_size=int(body.get("batch_size", 256)))
             return self._text_batcher.submit(ids)
-        arr = (_decode_npy_b64(body["images_b64"])
-               if "images_b64" in body
-               else np.asarray(body["images"], np.float32))
         res = self.retriever.clip_cfg.image_resolution
+        if "images_jpeg_b64" in body:
+            arr = _decode_jpeg_b64(body["images_jpeg_b64"], res)
+        else:
+            arr = (_decode_npy_b64(body["images_b64"])
+                   if "images_b64" in body
+                   else np.asarray(body["images"], np.float32))
         if arr.ndim != 4 or arr.shape[1:] != (res, res, 3):
             raise ServiceError(
                 f"'images' must be [B, {res}, {res}, 3] CLIP-normalized "
@@ -343,6 +348,30 @@ class RetrievalService:
                 f"no index {name!r} (have {sorted(self.indexes)})") from None
 
     ROUTES = {"/v1/encode": encode, "/v1/search": search, "/v1/add": add}
+
+
+def _decode_jpeg_b64(payload: Any, resolution: int) -> np.ndarray:
+    """List of base64 raw image files (JPEG fast path via the native C++
+    loader; PNG/etc. via PIL fallback) -> CLIP-normalized NHWC float32.
+    Runs on the calling thread — the native decode releases the GIL, so
+    concurrent requests decode in parallel before coalescing on device."""
+    if (not isinstance(payload, list)
+            or not all(isinstance(p, str) for p in payload)):
+        raise ServiceError("'images_jpeg_b64' must be a list of base64 "
+                           "strings (one raw image file each)")
+    blobs = []
+    for i, p in enumerate(payload):
+        try:
+            blobs.append(base64.b64decode(p, validate=True))
+        except Exception:
+            raise ServiceError(
+                f"images_jpeg_b64[{i}] is not valid base64") from None
+    from ccmh.data.dataset import images_from_bytes
+
+    try:
+        return images_from_bytes(blobs, resolution, is_train=False)
+    except ValueError as exc:
+        raise ServiceError(f"images_jpeg_b64: {exc}") from None
 
 
 def _decode_npy_b64(payload: str) -> np.ndarray:

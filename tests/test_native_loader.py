@@ -96,3 +96,45 @@ def test_grayscale_jpeg(tmp_path):
     ref = _transform(_to_pil(p), 64, True)
     pixel_diff = np.abs(images[0] - ref) * STD * 255.0
     assert pixel_diff.max() <= 2.0 + 1e-3, pixel_diff.max()
+
+
+def test_mem_decode_matches_path_decode(tmp_path):
+    """decode_batch_mem (serving ingestion: raw bytes, no file) is
+    bit-identical to decode_batch on the same JPEG payloads, and flags
+    corrupt/empty payloads instead of failing the batch."""
+    paths = _make_jpegs(tmp_path, [(320, 240), (64, 100), (224, 224)])
+    blobs = [open(p, "rb").read() for p in paths]
+    via_path, ok_p = native.decode_batch(paths, 96, False)
+    via_mem, ok_m = native.decode_batch_mem(blobs, 96, False)
+    assert ok_p.all() and ok_m.all()
+    np.testing.assert_array_equal(via_mem, via_path)
+
+    mixed = [blobs[0], b"not a jpeg", b"", blobs[2]]
+    images, ok = native.decode_batch_mem(mixed, 96, False)
+    assert ok.tolist() == [True, False, False, True]
+    np.testing.assert_array_equal(images[0], via_mem[0])
+
+
+def test_images_from_bytes_fallback(tmp_path):
+    """images_from_bytes: JPEGs ride the native loader, PNGs fall back to
+    PIL per item, undecodable bytes raise a clear ValueError."""
+    import io as _io
+
+    from ccmh.data.dataset import images_from_bytes
+
+    rng = np.random.RandomState(7)
+    arr = (rng.rand(50, 70, 3) * 255).astype(np.uint8)
+    jpg = _io.BytesIO()
+    Image.fromarray(arr).save(jpg, format="JPEG", quality=92)
+    png = _io.BytesIO()
+    Image.fromarray(arr).save(png, format="PNG")
+
+    images = images_from_bytes([jpg.getvalue(), png.getvalue()], 48)
+    for i, blob in enumerate([jpg.getvalue(), png.getvalue()]):
+        ref = _transform(
+            Image.open(_io.BytesIO(blob)).convert("RGB"), 48, False)
+        pixel_diff = np.abs(images[i] - ref) * STD * 255.0
+        assert pixel_diff.max() <= 2.0 + 1e-3, pixel_diff.max()
+
+    with pytest.raises(ValueError, match="image 1"):
+        images_from_bytes([jpg.getvalue(), b"garbage"], 48)

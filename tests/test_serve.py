@@ -280,3 +280,45 @@ def test_no_batching_mode_still_serves():
     want = retriever.encode_texts(ids).astype(int)
     np.testing.assert_array_equal(np.asarray(got["codes"]), want)
     assert service.healthz()["batching"]["enabled"] is False
+
+
+def test_images_jpeg_b64_roundtrip(server):
+    """Raw JPEG/PNG bytes in, codes out: the server decodes with the same
+    images_from_bytes helper the test calls directly (that helper's PIL
+    parity is pinned in test_native_loader.py), so codes must agree
+    bit-for-bit.  Undecodable payloads map to 400."""
+    from PIL import Image
+
+    from ccmh.data.dataset import images_from_bytes
+
+    srv, service, retriever, _ = server
+    rng = np.random.RandomState(11)
+    res = TINY.image_resolution
+    blobs = []
+    for fmt, (w, h) in [("JPEG", (40, 30)), ("PNG", (res, res))]:
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format=fmt)
+        blobs.append(buf.getvalue())
+
+    got = _call(srv, "/v1/encode", {
+        "images_jpeg_b64": [base64.b64encode(b).decode() for b in blobs]})
+    want = retriever.encode_images(images_from_bytes(blobs, res))
+    np.testing.assert_array_equal(np.asarray(got["codes"]), want.astype(int))
+
+    # search accepts the same body
+    got = _call(srv, "/v1/search", {
+        "images_jpeg_b64": [base64.b64encode(blobs[0]).decode()], "k": 3})
+    dist, idx = service.indexes["image"].search(want[:1], 3)
+    np.testing.assert_array_equal(np.asarray(got["indices"]), idx)
+
+    for bad_body, frag in [
+        ({"images_jpeg_b64": [base64.b64encode(b"junk").decode()]},
+         "not a decodable image"),
+        ({"images_jpeg_b64": ["%%%not-base64%%%"]}, "not valid base64"),
+        ({"images_jpeg_b64": "one-string-not-a-list"}, "list of base64"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _call(srv, "/v1/encode", bad_body)
+        assert err.value.code == 400
+        assert frag in json.loads(err.value.read())["error"]
