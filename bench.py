@@ -389,6 +389,31 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"host decode bench failed: {e}")
 
+    # secondary: host tokenizer throughput, native C++ BPE vs pure Python
+    # (the serving daemon's text path tokenizes per request)
+    try:
+        from ccmh.tokenizer import native as bpe_native
+        from ccmh.tokenizer.bpe import default_tokenizer
+
+        if bpe_native.available():
+            texts = [f"a photo of a dog number {i} on bright green grass"
+                     for i in range(8000)]
+            bpe_native.encode_padded_batch(texts[:64], 32)   # warm caches
+            t0 = time.time()
+            bpe_native.encode_padded_batch(texts, 32)
+            t_nat = time.time() - t0
+            tok = default_tokenizer()
+            t0 = time.time()
+            for t in texts[:1000]:
+                tok.encode_padded(t, 32)
+            t_py = (time.time() - t0) * (len(texts) / 1000)
+            log(f"host tokenize (C++ BPE): {len(texts)/t_nat:,.0f} texts/s "
+                f"vs python {len(texts)/t_py:,.0f} ({t_py/t_nat:.1f}x)")
+        else:
+            log("host tokenize: native BPE unavailable (python path active)")
+    except Exception as e:  # noqa: BLE001
+        log(f"host tokenize bench failed: {e}")
+
     # secondary: 1M-item synthetic gallery Hamming ranking at all three
     # supported code widths (BASELINE.md: 1M gallery x {16,32,64} bits)
     try:

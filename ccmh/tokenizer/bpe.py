@@ -191,7 +191,34 @@ def default_tokenizer() -> ClipBpeTokenizer:
     return ClipBpeTokenizer()
 
 
-def tokenize_batch(texts: Sequence[str], max_words: int = 32) -> np.ndarray:
-    """Vectorised host-side helper: list of strings -> int32 [B, max_words]."""
+def tokenize_batch(
+    texts: Sequence[str], max_words: int = 32, use_native: bool = None
+) -> np.ndarray:
+    """Vectorised host-side helper: list of strings -> int32 [B, max_words].
+
+    ASCII texts (no HTML entities / literal specials) ride the native C++
+    tokenizer when its toolchain is available — bit-identical ids, GIL-free
+    and threaded (the serving daemon's text path tokenizes on request
+    threads).  Everything else uses the pure-Python tokenizer.  Set
+    ``CCMH_NATIVE_BPE=0`` (or ``use_native=False``) to force Python.
+    """
+    texts = list(texts)
+    if use_native is None:
+        use_native = os.environ.get("CCMH_NATIVE_BPE", "1") != "0"
+    if use_native and texts:
+        from ccmh.tokenizer import native
+
+        elig = [native.eligible(t) for t in texts]
+        if any(elig) and native.available():
+            out = np.zeros((len(texts), max_words), np.int32)
+            idx = [i for i, e in enumerate(elig) if e]
+            out[idx] = native.encode_padded_batch(
+                [texts[i] for i in idx], max_words)
+            if len(idx) < len(texts):
+                tok = default_tokenizer()
+                for i, e in enumerate(elig):
+                    if not e:
+                        out[i] = tok.encode_padded(texts[i], max_words)
+            return out
     tok = default_tokenizer()
     return np.asarray([tok.encode_padded(t, max_words) for t in texts], dtype=np.int32)
