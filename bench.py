@@ -236,6 +236,58 @@ def main():
         "vs_baseline": round(encodes_per_sec / 10_000.0, 3),
     }), flush=True)
 
+    # secondary: serving-layer concurrent-request throughput — 48 clients
+    # each sending ONE text query; dynamic micro-batching (ccmh/serve.py
+    # _Batcher) coalesces them into a few device calls vs one B=1 XLA
+    # call per request
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ccmh.config import Config as _SCfg
+        from ccmh.retrieval import Retriever
+        from ccmh.serve import RetrievalService
+        from ccmh.train.methods import get_method
+
+        s_cfg = _SCfg(method="DSPH", output_dim=64, nclass=80, max_words=32)
+        s_method = get_method("DSPH")
+        s_heads, _, s_aux = s_method.init(jax.random.PRNGKey(5), s_cfg, cfg)
+        s_retr = Retriever(s_method, {"clip": params["clip"], **s_heads},
+                           s_aux, s_cfg, cfg)
+        s_texts = [f"a photo of object number {i} on a table" for i in range(48)]
+        serial = RetrievalService(s_retr, batching=False)
+        # the window closes the instant all 48 rows are queued (max_batch
+        # == client count), so one group -> one warmed 48-row executable
+        coalesced = RetrievalService(s_retr, batching=True, window_ms=300,
+                                     max_batch=len(s_texts))
+        # warm the two executable shapes (B=1 serial; 48-row coalesced)
+        serial.encode({"texts": s_texts[:1]})
+        coalesced.encode({"texts": s_texts})
+
+        t_serial = None
+        for _ in range(2):
+            t0 = time.time()
+            for t in s_texts:
+                serial.encode({"texts": [t]})
+            dt = time.time() - t0
+            t_serial = dt if t_serial is None else min(t_serial, dt)
+        t_batched = None
+        with ThreadPoolExecutor(max_workers=len(s_texts)) as pool:
+            for _ in range(2):
+                t0 = time.time()
+                list(pool.map(lambda t: coalesced.encode({"texts": [t]}),
+                              s_texts))
+                dt = time.time() - t0
+                t_batched = dt if t_batched is None else min(t_batched, dt)
+        st = coalesced._text_batcher.stats()
+        log(f"serving text encode, {len(s_texts)} concurrent 1-text clients: "
+            f"micro-batched {len(s_texts)/t_batched:,.0f} req/s "
+            f"({st['batches']} device calls) vs serial "
+            f"{len(s_texts)/t_serial:,.0f} req/s "
+            f"({t_serial/t_batched:.1f}x)")
+        del s_retr, serial, coalesced
+    except Exception as e:  # noqa: BLE001
+        log(f"serving bench failed: {e}")
+
     # secondary: full training-step throughput per method (ViT-B/32, bf16
     # towers + BertAdam).  DSPH (the flagship line) runs here; the heavy
     # methods run LAST, each in its own subprocess (see end of main).

@@ -74,3 +74,29 @@ def test_tokenize_batch_mixes_native_and_fallback():
     np.testing.assert_array_equal(got, want)
     # escape hatch: forcing Python yields the same thing
     np.testing.assert_array_equal(tokenize_batch(mixed, 16, use_native=False), want)
+
+
+def test_meta_items_equals_per_item():
+    """Batched meta assembly (native-BPE tokenize_batch) is bit-identical
+    to the per-item meta_item path, masks included."""
+    from ccmh.data.dataset import CrossModalDataset
+    from ccmh.data.split import RawData
+
+    rng = np.random.RandomState(0)
+    caps = np.asarray(
+        ["a dog", "it's two cats!", "number 3", "punctuation... ok?"], object)
+    raw = RawData(
+        captions=caps,
+        indexes=np.asarray([np.zeros((8, 8, 3), np.uint8)] * 4, object),
+        labels=rng.rand(4, 5).astype(np.float32),
+    )
+    for with_mask in (False, True):
+        ds = CrossModalDataset(raw, is_train=True, max_words=12, resolution=8,
+                               seed=3, with_mask=with_mask)
+        ds.epoch = 2
+        idxs = np.asarray([2, 0, 3, 1])
+        got = ds.meta_items(idxs)
+        items = [ds.meta_item(int(i)) for i in idxs]
+        for key in items[0]:
+            np.testing.assert_array_equal(
+                got[key], np.stack([it[key] for it in items]), err_msg=key)
