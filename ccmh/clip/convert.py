@@ -158,6 +158,10 @@ def convert_torch_checkpoint(path: str) -> Tuple[Params, ClipConfig]:
         sd = model.state_dict()
     except RuntimeError:
         sd = torch.load(path, map_location="cpu")
+    if any(k.startswith(("text_model.", "vision_model.")) for k in sd):
+        from ccmh.clip.hf import hf_to_openai_state_dict
+
+        return convert_state_dict(hf_to_openai_state_dict(sd))
     for key in ("input_resolution", "context_length", "vocab_size"):
         sd.pop(key, None)
     return convert_state_dict(sd)
@@ -228,7 +232,16 @@ def load_params_npz(path: str) -> Tuple[Params, ClipConfig]:
 
 
 def load_clip_params(path: str) -> Tuple[Params, ClipConfig]:
-    """Dispatch on extension: .npz (torch-free) or torch .pt archive."""
+    """Dispatch: .npz (torch-free), a HuggingFace checkpoint directory
+    (config.json + safetensors/bin — ccmh/clip/hf.py), or a torch .pt
+    archive / state dict (HF-layout state dicts inside a .pt are detected
+    and routed through the HF converter too)."""
+    import os
+
     if path.endswith(".npz"):
         return load_params_npz(path)
+    if os.path.isdir(path):
+        from ccmh.clip.hf import load_hf_clip
+
+        return load_hf_clip(path)
     return convert_torch_checkpoint(path)

@@ -6,6 +6,7 @@ variables must be set before jax is first imported, hence this module-level
 code in conftest.
 """
 
+import importlib.machinery
 import os
 import sys
 import types
@@ -41,6 +42,9 @@ if "ftfy" not in sys.modules:
     except ImportError:
         stub = types.ModuleType("ftfy")
         stub.fix_text = lambda s: unicodedata.normalize("NFC", s)
+        # a real ModuleSpec so importlib.util.find_spec (e.g. transformers'
+        # availability probes) doesn't raise on the stub
+        stub.__spec__ = importlib.machinery.ModuleSpec("ftfy", loader=None)
         sys.modules["ftfy"] = stub
 
 
@@ -131,6 +135,9 @@ if "torchvision" not in sys.modules:
             return tv, tvt
 
         _tv, _tvt = _make_torchvision_stub()
+        _tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", loader=None)
+        _tvt.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision.transforms", loader=None)
         sys.modules["torchvision"] = _tv
         sys.modules["torchvision.transforms"] = _tvt
 
@@ -172,6 +179,7 @@ if "xlrd" not in sys.modules:
                 return _Book(read_sheet(path))
 
             stub.open_workbook = open_workbook
+            stub.__spec__ = importlib.machinery.ModuleSpec("xlrd", loader=None)
             return stub
 
         sys.modules["xlrd"] = _make_xlrd_stub()
