@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "--set remat_policy=dots to keep matmul outputs "
                              "saved and recompute only the cheap ops)")
     parser.add_argument("--checkpoint-every", type=int, default=defaults.checkpoint_every)
+    parser.add_argument("--async-checkpoint", dest="async_checkpoint",
+                        action="store_true", default=defaults.async_checkpoint,
+                        help="overlap checkpoint disk writes with the next "
+                             "epoch's training (orbax async; waits are "
+                             "enforced before exit and resume)")
     parser.add_argument("--resume", action="store_true", default=defaults.resume,
                         help="auto-resume full training state from save_dir/state_ckpt")
     parser.add_argument("--profile", action="store_true", default=defaults.profile,

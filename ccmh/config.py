@@ -208,7 +208,8 @@ class Config:
 
     # paths
     save_dir: str = "./result/"
-    clip_path: str = ""                   # OpenAI ViT-B-32.pt (torch) or converted .npz
+    clip_path: str = ""                   # OpenAI ViT-B-32.pt (torch), converted .npz,
+                                          # or a HuggingFace CLIP checkpoint directory
     pretrained: str = ""                  # resume weights
     data_dir: str = ""                    # dir with index.mat/caption.mat/label.mat
     save_mat: bool = True
@@ -280,6 +281,7 @@ class Config:
     optim_moments_dtype: str = "float32"
     eval_batch: int = 512
     checkpoint_every: int = 0             # orbax checkpoint period (0 = off)
+    async_checkpoint: bool = False        # overlap checkpoint writes with training
     resume: bool = False                  # auto-resume from save_dir/state_ckpt
     profile: bool = False
     # persistent XLA compilation cache directory ("" = off): first compile

@@ -115,6 +115,71 @@ def save_state(
     return slot
 
 
+class AsyncStateSaver:
+    """Overlapped full-state checkpointing.
+
+    orbax's ``StandardCheckpointer`` is an ``AsyncCheckpointer``: ``save``
+    returns once the arrays are staged to host memory and the
+    serialization + disk write run on a background thread.
+    :func:`save_state` hides that by waiting and closing per call; this
+    saver keeps ONE checkpointer alive across the run so the write of
+    epoch N's checkpoint overlaps the training of epoch N+1 — for the
+    150M-param towers (params + two optimizer moments ≈ 1.8 GB) the disk
+    write is the dominant cost and no longer stalls the step loop.
+
+    Crash-safety is preserved: pruning of old slots is DEFERRED until the
+    next save (or :meth:`wait`), after the pending write is known
+    finalized, so the two-newest-finalized invariant of :func:`save_state`
+    holds at every instant.
+    """
+
+    def __init__(self):
+        self._ckptr: Optional[ocp.StandardCheckpointer] = None
+        self._pending_root: Optional[str] = None
+
+    def save(
+        self,
+        ckpt_root: str,
+        state: TrainState,
+        epoch: int,
+        meta: Optional[Dict[str, float]] = None,
+    ) -> str:
+        self.wait()  # finalize + prune the previous slot first
+        if self._ckptr is None:
+            self._ckptr = ocp.StandardCheckpointer()
+        root = os.path.abspath(ckpt_root)
+        os.makedirs(root, exist_ok=True)
+        slot = os.path.join(root, f"e{epoch:06d}")
+        tmp = jax.tree.map(np.asarray, _pack(state, epoch, meta))
+        self._ckptr.save(slot, tmp, force=os.path.isdir(slot))
+        self._pending_root = root
+        return slot
+
+    def wait(self) -> None:
+        """Block until the pending write (if any) is finalized, then prune."""
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+        if self._pending_root is not None:
+            root, self._pending_root = self._pending_root, None
+            for old in _slots(root)[:-_KEEP_SLOTS]:
+                shutil.rmtree(old, ignore_errors=True)
+            for name in os.listdir(root):
+                if ".orbax-checkpoint-tmp" in name:
+                    shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+    def close(self) -> None:
+        self.wait()
+        if self._ckptr is not None:
+            self._ckptr.close()
+            self._ckptr = None
+
+    def __enter__(self) -> "AsyncStateSaver":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def load_state(
     ckpt_dir: str,
     template: TrainState,

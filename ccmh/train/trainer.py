@@ -60,11 +60,25 @@ class Trainer:
             tensorboard_dir=os.path.join(cfg.save_dir, "tensorboard"))
         self.method = get_method(cfg.method)
 
+        # resolve the tower checkpoint BEFORE the datasets: the transform
+        # resolution is a hard shape constraint of the loaded tower (e.g.
+        # ViT-L/14@336px or an HF checkpoint at a non-224 size), so the
+        # data pipeline must follow the checkpoint, not the 224 default.
+        if clip_params is None and cfg.clip_path:
+            clip_params, clip_cfg = load_clip_params(cfg.clip_path)
+        if clip_cfg is not None and clip_cfg.image_resolution != cfg.resolution:
+            self.logger.warning(
+                f"--resolution {cfg.resolution} does not match the "
+                f"{clip_cfg.image_resolution}px CLIP tower; using "
+                f"{clip_cfg.image_resolution}")
+            cfg.resolution = clip_cfg.image_resolution
+
         self._init_data(splits)
         self._init_model(clip_cfg, clip_params)
 
         self.global_step = 0
         self._preempt = False
+        self._async_saver = None  # lazy AsyncStateSaver (--async-checkpoint)
         self.max_mapi2t = 0.0
         self.max_mapt2i = 0.0
         self.best_epoch_i = 0
@@ -294,6 +308,12 @@ class Trainer:
                 if self.cfg.checkpoint_every and (epoch + 1) % self.cfg.checkpoint_every == 0:
                     self.save_full_checkpoint(epoch)
         finally:
+            if self._async_saver is not None:
+                # finalize any in-flight checkpoint write before returning —
+                # covers normal completion, preemption AND exceptions, so the
+                # newest slot on disk is always complete when train() exits
+                self._async_saver.close()
+                self._async_saver = None
             if in_main:
                 signal.signal(signal.SIGTERM, old_handler)
         self.logger.info(
@@ -585,14 +605,25 @@ class Trainer:
         ``step_in_epoch`` > 0 marks a mid-epoch PREEMPTION checkpoint:
         ``epoch`` is then the epoch in progress, and resume fast-forwards
         the (deterministically keyed) loader past the completed steps."""
-        from ccmh.train.checkpoint import save_state
+        from ccmh.train.checkpoint import AsyncStateSaver, save_state
 
         state = self._canonical_state()
         if self.mesh is not None:
             state = jax.tree.map(
                 lambda t: np.asarray(t) if hasattr(t, "shape") else t, state)
-        save_state(os.path.join(self.cfg.save_dir, "state_ckpt"), state, epoch,
-                   meta=self._tracker_meta(step_in_epoch))
+        root = os.path.join(self.cfg.save_dir, "state_ckpt")
+        meta = self._tracker_meta(step_in_epoch)
+        if self.cfg.async_checkpoint:
+            # overlapped write: save() returns after the arrays are staged to
+            # host and the disk write proceeds on orbax's background thread,
+            # concurrently with the next epoch.  train() closes (= finalizes)
+            # the saver on every exit path, so preemption checkpoints are
+            # always complete before the process returns.
+            if self._async_saver is None:
+                self._async_saver = AsyncStateSaver()
+            self._async_saver.save(root, state, epoch, meta=meta)
+        else:
+            save_state(root, state, epoch, meta=meta)
         at = f" (step {step_in_epoch})" if step_in_epoch else ""
         self.logger.info(f"full-state checkpoint @ epoch {epoch}{at}")
 

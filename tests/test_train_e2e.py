@@ -160,6 +160,71 @@ def test_full_state_resume(tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=0, atol=0)
 
 
+def test_resolution_follows_clip_tower(tmp_path):
+    """--resolution is a hard shape constraint of the loaded tower: a
+    mismatching value is coerced to the checkpoint's image_resolution (so
+    e.g. ViT-L/14@336px or an HF checkpoint at a non-224 size trains with
+    the right data pipeline instead of a shape error)."""
+    raw = synthetic_arrays(n=64, n_class=8, resolution=TINY.image_resolution)
+    cfg = tiny_cfg("DCHMT", tmp_path, resolution=2 * TINY.image_resolution)
+    splits = split_data(raw, query_num=cfg.query_num,
+                        train_num=cfg.train_num, seed=cfg.seed)
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    t = Trainer(cfg, splits=splits, clip_cfg=TINY, clip_params=clip_params)
+    assert t.cfg.resolution == TINY.image_resolution
+    batch = next(iter(t.train_loader))
+    assert batch["image"].shape[1] == TINY.image_resolution
+    t.state, metrics = t.train_step(
+        t.state, {k: jax.numpy.asarray(v) for k, v in batch.items()})
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_async_checkpoint_resume_bit_exact(tmp_path):
+    """--async-checkpoint overlaps the orbax write with the next epoch; the
+    checkpoint it leaves behind must be byte-equivalent to the synchronous
+    path: a resumed run continues bit-exactly, and train() finalizes any
+    in-flight write before returning (so the slot is complete on exit)."""
+    from ccmh.train.checkpoint import latest_checkpoint, load_state
+
+    # 2 epochs with a checkpoint every epoch, async on
+    t_a = make_trainer("DCHMT", tmp_path / "async", epochs=2, valid=False,
+                       checkpoint_every=1, async_checkpoint=True)
+    t_a.train()
+    assert t_a._async_saver is None  # closed (finalized) on exit
+    # sync twin on the same data/schedule
+    t_s = make_trainer("DCHMT", tmp_path / "sync", epochs=2, valid=False,
+                       checkpoint_every=1)
+    t_s.train()
+
+    pa = latest_checkpoint(t_a.cfg.save_dir)
+    ps = latest_checkpoint(t_s.cfg.save_dir)
+    assert pa is not None and ps is not None
+    template = jax.tree.map(np.asarray, t_a.state)
+    sa, ea, ma = load_state(pa, template)
+    ss, es, ms = load_state(ps, template)
+    ma.pop("total_time"), ms.pop("total_time")  # wall-clock, run-specific
+    assert ea == es == 1 and ma == ms
+    for x, y in zip(jax.tree.leaves(sa), jax.tree.leaves(ss)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # only the newest two slots are kept, even with deferred pruning
+    import os
+
+    slots = sorted(d for d in os.listdir(os.path.join(t_a.cfg.save_dir, "state_ckpt"))
+                   if d.startswith("e"))
+    assert slots == ["e000000", "e000001"]
+
+    # and a resumed run continues bit-exactly from the async checkpoint
+    t_b = make_trainer("DCHMT", tmp_path / "async", epochs=3, valid=False,
+                       checkpoint_every=1, async_checkpoint=True, resume=True)
+    t_b.train()
+    t_c = make_trainer("DCHMT", tmp_path / "sync", epochs=3, valid=False,
+                       checkpoint_every=1, resume=True)
+    t_c.train()
+    for x, y in zip(jax.tree.leaves(t_b.state.params),
+                    jax.tree.leaves(t_c.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_full_state_checkpoint_none_extra(tmp_path):
     """Orbax checkpoint round-trip for a method WITHOUT loss-side extras
     (DCHMT: extra=None) — None members must be omitted, not serialised."""
