@@ -14,7 +14,9 @@ Layers (bottom-up):
   ccmh.losses     — per-method loss functions (pure jnp)
   ccmh.ops        — packed-bit Hamming / mAP kernels (Pallas + XLA)
   ccmh.train      — BertAdam-optax, jitted train/encode steps, trainers
-  ccmh.parallel   — mesh construction and sharding rules
+  ccmh.parallel   — mesh construction and sharding rules (DP / TP / FSDP)
+  ccmh.retrieval  — device-resident HashIndex + Retriever (top-k serving)
+  ccmh.serve      — zero-dependency HTTP serving daemon
 """
 
 __version__ = "0.1.0"
