@@ -172,6 +172,7 @@ def config_from_args(argv=None) -> Config:
         ragged_last=args.ragged_last,
         compute_dtype=args.compute_dtype, remat=args.remat,
         checkpoint_every=args.checkpoint_every,
+        async_checkpoint=args.async_checkpoint,
         resume=args.resume, profile=args.profile,
         compilation_cache=args.compilation_cache,
         mesh_shape=tuple(int(x) for x in args.mesh.split(",")),

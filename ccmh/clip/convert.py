@@ -158,10 +158,10 @@ def convert_torch_checkpoint(path: str) -> Tuple[Params, ClipConfig]:
         sd = model.state_dict()
     except RuntimeError:
         sd = torch.load(path, map_location="cpu")
-    if any(k.startswith(("text_model.", "vision_model.")) for k in sd):
-        from ccmh.clip.hf import hf_to_openai_state_dict
+    from ccmh.clip.hf import _looks_like_hf, load_hf_clip
 
-        return convert_state_dict(hf_to_openai_state_dict(sd))
+    if _looks_like_hf(sd):
+        return load_hf_clip(sd)
     for key in ("input_resolution", "context_length", "vocab_size"):
         sd.pop(key, None)
     return convert_state_dict(sd)

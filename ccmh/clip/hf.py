@@ -127,20 +127,46 @@ def _looks_like_hf(sd: Dict[str, Any]) -> bool:
 
 def load_hf_clip(source) -> Tuple[Params, ClipConfig]:
     """HF CLIP (``CLIPModel`` instance, checkpoint dir/name, or HF-layout
-    state dict) -> (ccmh params, inferred ClipConfig)."""
+    state dict) -> (ccmh params, inferred ClipConfig).
+
+    Head counts come from the HF config when available.  A raw state dict
+    carries no head-count information, so that form assumes the OpenAI
+    convention (head_dim 64, heads = width // 64) — pass the model or
+    checkpoint directory for architectures that deviate."""
+    import dataclasses
+
     from ccmh.clip.convert import convert_state_dict
 
+    hf_cfg = None
     if isinstance(source, dict):
         sd = source
     elif isinstance(source, str):
         from transformers import CLIPModel
 
-        sd = CLIPModel.from_pretrained(source).state_dict()
+        model = CLIPModel.from_pretrained(source)
+        sd, hf_cfg = model.state_dict(), model.config
     else:                                   # live torch module
         sd = source.state_dict()
         if not _looks_like_hf(sd):
             raise ValueError("module does not look like a transformers CLIPModel")
-    return convert_state_dict(hf_to_openai_state_dict(sd))
+        hf_cfg = getattr(source, "config", None)
+    params, cfg = convert_state_dict(hf_to_openai_state_dict(sd))
+    if hf_cfg is not None:
+        # shape inference assumes head_dim 64 (every OpenAI CLIP); the HF
+        # config is authoritative — silently-wrong heads produce garbage
+        # features, so override text heads and reject unrepresentable vision
+        # head counts (ClipConfig derives vision_heads as width // 64).
+        text_heads = hf_cfg.text_config.num_attention_heads
+        vision_heads = hf_cfg.vision_config.num_attention_heads
+        if text_heads != cfg.transformer_heads:
+            cfg = dataclasses.replace(cfg, transformer_heads=text_heads)
+        if vision_heads != cfg.vision_heads:
+            raise ValueError(
+                f"HF vision tower uses {vision_heads} attention heads but "
+                f"width {cfg.vision_width} implies {cfg.vision_heads} at the "
+                f"OpenAI head_dim of 64 — this architecture cannot be "
+                f"represented")
+    return params, cfg
 
 
 # ---------------------------------------------------------------------------
@@ -255,6 +281,12 @@ def to_hf_model(params: Params, cfg: ClipConfig):
     model = CLIPModel(make_hf_config(cfg)).eval()
     sd = {k: torch.from_numpy(np.array(v, dtype=np.float32))
           for k, v in to_hf_state_dict(params, cfg).items()}
+    # transformers < 4.31 registers position_ids as persistent buffers; take
+    # the freshly-initialized model's own (they are just arange) so the
+    # strict load succeeds on both old and new layouts
+    for key, value in model.state_dict().items():
+        if key.endswith("position_ids") and key not in sd:
+            sd[key] = value
     model.load_state_dict(sd, strict=True)
     return model
 

@@ -151,12 +151,11 @@ class Trainer:
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
         if clip_params is None:
-            if cfg.clip_path:
-                clip_params, clip_cfg = load_clip_params(cfg.clip_path)
-            else:
-                clip_cfg = clip_cfg or ClipConfig()
-                self.logger.warning("no clip_path set — random CLIP init")
-                clip_params = init_clip_params(rng, clip_cfg)
+            # __init__ already resolved cfg.clip_path (the resolution must be
+            # known before the datasets), so reaching here means no checkpoint
+            clip_cfg = clip_cfg or ClipConfig()
+            self.logger.warning("no clip_path set — random CLIP init")
+            clip_params = init_clip_params(rng, clip_cfg)
         self.clip_cfg = clip_cfg
 
         k_head, k_state = jax.random.split(jax.random.fold_in(rng, 1))

@@ -64,6 +64,17 @@ def main() -> None:
         "--batch-size", "12", "--query-num", "12", "--train-num", "24",
         "--eval-batch", "12", "--clip-arch", "tiny",
     ]
+    centers = ""
+    if args.method == "TwDH":
+        # TwDH needs class-center assets; generate them for this dataset
+        # (the reference cannot do this at all — it ships 3 fixed pickles)
+        from ccmh.data.builders.twdh_centers import main as gen_centers
+
+        centers = os.path.join(work, "twdh_centers.npz")
+        gen_centers(["--nclass", "6", "--long-dims", str(args.bits),
+                     "--short-dims", str(max(args.bits // 2, 4)),
+                     "--out", centers])
+        common += ["--set", f"twdh.center_path={centers}"]
     ccmh_main(common + ["--epochs", str(args.epochs), "--checkpoint-every", "1",
                         "--save-model"])
     run_dir = os.path.join(save_dir, args.method, "synthetic", str(args.bits))
@@ -83,6 +94,8 @@ def main() -> None:
 
     cfg = Config(method=args.method, output_dim=args.bits,
                  nclass=6, pretrained=ckpt, max_words=32)
+    if centers:
+        cfg.twdh.center_path = centers
     r = Retriever.from_pretrained(cfg, clip_cfg=ClipConfig.tiny())
 
     gallery_imgs = _load_gallery_images(data_dir, n=24)

@@ -27,6 +27,30 @@ def test_config_from_args(tmp_path):
     assert cfg.save_dir == os.path.join(str(tmp_path), "DSPH", "coco", "32")
 
 
+def test_boolean_flags_reach_config():
+    """Every boolean CLI flag whose dest names a Config field must actually
+    flow through config_from_args — a parsed-but-dropped flag is a silent
+    no-op (regression: --async-checkpoint was parsed and never forwarded)."""
+    import argparse
+
+    from ccmh.cli import build_parser
+    from ccmh.config import Config
+
+    fields = Config.__dataclass_fields__
+    checked = 0
+    for action in build_parser()._actions:
+        if action.dest not in fields or not action.option_strings:
+            continue  # dead reference-parity flags warn instead (cli.py)
+        flag = action.option_strings[0]
+        if isinstance(action, argparse._StoreTrueAction) and not action.default:
+            assert getattr(config_from_args([flag]), action.dest) is True, flag
+            checked += 1
+        elif isinstance(action, argparse._StoreFalseAction) and action.default:
+            assert getattr(config_from_args([flag]), action.dest) is False, flag
+            checked += 1
+    assert checked >= 10  # the boolean surface should stay covered
+
+
 def test_cli_end_to_end(tmp_path):
     data_dir = write_synthetic_mat_dataset(str(tmp_path / "data"), n=48,
                                            n_class=6, resolution=32)

@@ -115,6 +115,39 @@ def test_cli_to_npz(hf_model, tmp_path):
     assert cfg == TINY
 
 
+def test_nonstandard_text_heads_respected():
+    """Shape inference assumes head_dim 64; the HF config is authoritative.
+    A 128-wide / 4-head text tower must convert with 4 heads (not the
+    inferred 2) and still match transformers feature-for-feature."""
+    from ccmh.clip.hf import load_hf_clip, make_hf_config
+
+    cfg4 = make_hf_config(TINY)
+    cfg4.text_config.num_attention_heads = 4
+    torch.manual_seed(3)
+    model = transformers.CLIPModel(cfg4).float().eval()
+    params, cc = load_hf_clip(model)
+    assert cc.transformer_heads == 4
+    _, ids = make_inputs(batch=2, seed=2)
+    with torch.no_grad():
+        want = model.get_text_features(input_ids=torch.from_numpy(ids)).numpy()
+    got = np.asarray(encode_text(params, cc, jnp.asarray(ids.astype(np.int32))))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_nonstandard_vision_heads_rejected():
+    """ClipConfig derives vision heads as width // 64; an HF vision tower
+    with a different head count cannot be represented and must raise, not
+    silently produce wrong features."""
+    from ccmh.clip.hf import load_hf_clip, make_hf_config
+
+    cfg4 = make_hf_config(TINY)
+    cfg4.vision_config.num_attention_heads = 4
+    torch.manual_seed(4)
+    model = transformers.CLIPModel(cfg4).float().eval()
+    with pytest.raises(ValueError, match="attention heads"):
+        load_hf_clip(model)
+
+
 def test_resnet_rejected():
     from ccmh.clip.hf import to_hf_state_dict
 
