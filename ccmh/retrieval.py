@@ -76,13 +76,23 @@ def _blocked_smallest_k(key: jax.Array, k: int) -> jax.Array:
     Rows shorter than max(4k, block) take one plain top_k.
     """
     q = key.shape[0]
-    while key.shape[1] > max(4 * k, _TOPK_BLOCK):
+    if key.shape[1] < k:
+        # rows narrower than k (sharded search with k > per-shard rows):
+        # sentinel-pad — sentinels re-pack to themselves in _merge_topk and
+        # rank strictly last, so they never reach a final top-k (k <= the
+        # total REAL row count is the callers' invariant)
+        key = jnp.pad(key, ((0, 0), (0, k - key.shape[1])),
+                      constant_values=_SENTINEL)
+    block = _TOPK_BLOCK
+    while block < 2 * k:
+        block *= 2  # keep >= 2x row shrink per round (k >= block/2 would
+        #             otherwise shrink sublinearly — or not at all at k=block)
+    while key.shape[1] > max(4 * k, block):
         m = key.shape[1]
-        nb = -(-m // _TOPK_BLOCK)
-        padded = jnp.pad(key, ((0, 0), (0, nb * _TOPK_BLOCK - m)),
+        nb = -(-m // block)
+        padded = jnp.pad(key, ((0, 0), (0, nb * block - m)),
                          constant_values=_SENTINEL)
-        t, _ = jax.lax.top_k(-padded.reshape(q, nb, _TOPK_BLOCK),
-                             min(k, _TOPK_BLOCK))
+        t, _ = jax.lax.top_k(-padded.reshape(q, nb, block), k)
         key = (-t).reshape(q, -1)
     t, _ = jax.lax.top_k(-key, k)
     return -t
@@ -211,6 +221,8 @@ def topk_search(
     queries = np.asarray(queries)
     n = valid_n if valid_n is not None else gallery.shape[0]
     k = min(k, n)
+    if queries.shape[0] == 0:
+        return (np.zeros((0, k), np.int32), np.zeros((0, k), np.int32))
     packed = np.dtype(gallery.dtype) == np.uint32
     if dist_fn is None:
         if packed:
@@ -266,6 +278,8 @@ def topk_search_sharded(
     queries = np.asarray(queries)
     n = valid_n if valid_n is not None else gallery.shape[0]
     k = min(k, n)
+    if queries.shape[0] == 0:
+        return (np.zeros((0, k), np.int32), np.zeros((0, k), np.int32))
     if np.dtype(gallery.dtype) == np.uint32:
         dfn, max_dist = _packed_dist, 32 * queries.shape[1]
     else:
@@ -504,6 +518,11 @@ class Retriever:
         self.aux = aux
         self.cfg = cfg
         self.clip_cfg = clip_cfg
+        # ONE dist_fn closure for the retriever's lifetime: _search_fn's
+        # executable cache keys on function identity, so a fresh closure per
+        # _index_kw() call would recompile the search per index
+        self._dist_fn = (method.dist_fn(cfg)
+                         if method.dist_fn is not None else None)
         res = clip_cfg.image_resolution
 
         def _batch(images, ids):
@@ -591,6 +610,10 @@ class Retriever:
 
     # ------------------------------------------------------------- encoding
     def _chunked(self, fn, arr, batch_size: int) -> np.ndarray:
+        if arr.shape[0] == 0:
+            # one padded row probes the output width/dtype (methods differ:
+            # DPSIH emits multi-embed rows), then slice to the empty result
+            return self._chunked(fn, _pad_rows(arr, 1), 1)[:0]
         out = []
         bs = min(batch_size, max(1, arr.shape[0]))
         if self.tp_mesh is not None and self._dp > 1:
@@ -630,8 +653,8 @@ class Retriever:
     # ------------------------------------------------------------- indexing
     def _index_kw(self) -> Dict[str, Any]:
         kw: Dict[str, Any] = {}
-        if self.method.dist_fn is not None:
-            kw["dist_fn"] = self.method.dist_fn(self.cfg)
+        if self._dist_fn is not None:
+            kw["dist_fn"] = self._dist_fn
             kw["max_dist"] = self.cfg.output_dim
         return kw
 

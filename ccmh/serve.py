@@ -73,6 +73,17 @@ def _pad0(rows: np.ndarray, n: int) -> np.ndarray:
     return np.concatenate([rows, pad])
 
 
+def _batch_size(body: Dict[str, Any]) -> int:
+    """Client-supplied device batch size (no-batching mode); 400 on junk."""
+    try:
+        bs = int(body.get("batch_size", 256))
+    except (ValueError, TypeError):
+        raise ServiceError("'batch_size' must be an int")
+    if bs < 1:
+        raise ServiceError(f"'batch_size' must be >= 1 (got {bs})")
+    return bs
+
+
 def _bucket(n: int, cap: int = 256) -> int:
     """Row-count bucket: next power of two up to ``cap``, then multiples
     of ``cap``.  Bounds the compiled-executable set to {1,2,4,...,cap}
@@ -225,9 +236,15 @@ class RetrievalService:
             batcher = self._search_batchers.get((name, k))
             if batcher is None:
                 def run(q, _name=name, _k=k):
+                    # bucket the coalesced query count like the encode path:
+                    # without it every distinct group size would trace+compile
+                    # a fresh search executable while holding the device lock
                     index = self._index(_name)
+                    n = q.shape[0]
+                    b = _bucket(n, self._max_batch)
                     with self._device_lock:
-                        return index.search(q, _k)
+                        d, i = index.search(_pad0(q, b), _k)
+                    return d[:n], i[:n]
 
                 batcher = _Batcher(run, self._max_batch, self._window_ms)
                 self._search_batchers[(name, k)] = batcher
@@ -280,13 +297,23 @@ class RetrievalService:
                                    max_words=self.retriever.cfg.max_words),
                     np.int32)
             else:  # pre-tokenized [B, max_words]
-                ids = np.asarray(body["ids"], np.int32)
-                if ids.ndim != 2:
-                    raise ServiceError("'ids' must be [B, max_words]")
+                try:
+                    ids = np.asarray(body["ids"], np.int32)
+                except (ValueError, TypeError):
+                    raise ServiceError("'ids' must be a rectangular int array")
+                mw = self.retriever.cfg.max_words
+                if ids.size == 0:  # "[]" decays to 1-D; it's an empty batch
+                    ids = ids.reshape(0, mw)
+                if ids.ndim != 2 or ids.shape[1] != mw:
+                    # width must be validated BEFORE enqueueing: a wrong-width
+                    # row would fail the whole coalesced batch (np.concatenate
+                    # in _Batcher), taking innocent tenants' requests with it
+                    raise ServiceError(
+                        f"'ids' must be [B, {mw}] (got {list(ids.shape)})")
             if not self.batching:
                 with self._device_lock:
                     return self.retriever.encode_texts(
-                        ids, batch_size=int(body.get("batch_size", 256)))
+                        ids, batch_size=_batch_size(body))
             return self._text_batcher.submit(ids)
         res = self.retriever.clip_cfg.image_resolution
         if "images_jpeg_b64" in body:
@@ -302,7 +329,7 @@ class RetrievalService:
         if not self.batching:
             with self._device_lock:
                 return self.retriever.encode_images(
-                    arr, batch_size=int(body.get("batch_size", 256)))
+                    arr, batch_size=_batch_size(body))
         return self._image_batcher.submit(arr)
 
     def encode(self, body: Dict[str, Any]) -> Dict[str, Any]:
@@ -325,19 +352,30 @@ class RetrievalService:
 
     def add(self, body: Dict[str, Any]) -> Dict[str, Any]:
         name = body.get("index", "image")
-        codes = (np.asarray(body["codes"], np.float32)
-                 if "codes" in body else self._queries(body))
+        if "codes" in body:
+            try:
+                codes = np.asarray(body["codes"], np.float32)
+            except (ValueError, TypeError):
+                raise ServiceError("'codes' must be a rectangular [M, K] array")
+            if codes.ndim != 2:
+                raise ServiceError(
+                    f"'codes' must be [M, K] (got {list(codes.shape)})")
+        else:
+            codes = self._queries(body)
         with self._device_lock:
             index = self.indexes.get(name)
-            if index is None:
-                # bootstrap: a daemon started without --gallery grows its
-                # first index from the first /v1/add
-                from ccmh.retrieval import HashIndex
+            try:
+                if index is None:
+                    # bootstrap: a daemon started without --gallery grows its
+                    # first index from the first /v1/add
+                    from ccmh.retrieval import HashIndex
 
-                self.indexes[name] = HashIndex(
-                    codes, **self.retriever._index_kw())
-            else:
-                index.add(codes)
+                    self.indexes[name] = HashIndex(
+                        codes, **self.retriever._index_kw())
+                else:
+                    index.add(codes)
+            except ValueError as exc:  # shape/width mismatch = client error
+                raise ServiceError(str(exc))
         return {"index": name, "size": len(self.indexes[name])}
 
     def _index(self, name: str):

@@ -203,6 +203,8 @@ def tokenize_batch(
     ``CCMH_NATIVE_BPE=0`` (or ``use_native=False``) to force Python.
     """
     texts = list(texts)
+    if not texts:  # keep the [B, max_words] contract for empty batches
+        return np.zeros((0, max_words), np.int32)
     if use_native is None:
         use_native = os.environ.get("CCMH_NATIVE_BPE", "1") != "0"
     if use_native and texts:

@@ -87,6 +87,40 @@ def test_topk_sharded_matches_single():
     np.testing.assert_array_equal(i2, bi)
 
 
+def test_topk_large_k_terminates_and_matches():
+    """k >= the 512 selection block: the blocked recursion must widen its
+    block (k=512 previously never shrank the rows — an infinite trace-time
+    loop) and still return the exact stable order."""
+    g = random_codes(4096, 16, 8)
+    q = random_codes(3, 16, 9, with_ties=False)
+    for k in (511, 512, 600):
+        bd, bi = brute_force(q, g, k)
+        d, i = topk_search(q, g, k)
+        np.testing.assert_array_equal(d, bd)
+        np.testing.assert_array_equal(i, bi)
+
+
+def test_topk_sharded_k_exceeds_shard():
+    """k larger than the per-shard row count: each shard contributes ALL its
+    rows (sentinel-padded to k) and the merge still returns the exact global
+    order — previously lax.top_k(k > per) crashed at trace time."""
+    mesh = make_mesh(8)
+    g = random_codes(64, 16, 10)     # per-shard = 8 rows
+    q = random_codes(5, 16, 11, with_ties=False)
+    bd, bi = brute_force(q, g, 20)   # k=20 > 8
+    d, i = topk_search_sharded(q, g, 20, mesh)
+    np.testing.assert_array_equal(d, bd)
+    np.testing.assert_array_equal(i, bi)
+
+
+def test_topk_empty_queries():
+    g = random_codes(64, 16, 12)
+    d, i = topk_search(np.empty((0, 16), np.int8), g, 5)
+    assert d.shape == (0, 5) and i.shape == (0, 5)
+    d, i = topk_search_sharded(np.empty((0, 16), np.int8), g, 5, make_mesh(8))
+    assert d.shape == (0, 5) and i.shape == (0, 5)
+
+
 def test_sharded_search_gathers_only_candidates():
     """The compiled sharded search must all-gather ONLY the per-shard
     [C, k] candidate sets — never the [C, N] distance matrix (which would

@@ -123,6 +123,19 @@ def test_error_mapping(server):
     assert status_of("/v1/encode",
                      {"images": [[0.0]]}) == 400                 # bad shape
     assert status_of("/v1/encode", {"images_b64": "!!"}) == 400
+    # wrong-width / ragged pre-tokenized ids must 400 BEFORE enqueueing
+    # (a bad row in a coalesced batch would fail other tenants' requests)
+    assert status_of("/v1/encode", {"ids": [[1, 2, 3]]}) == 400
+    assert status_of("/v1/encode", {"ids": [[1, 2], [1]]}) == 400
+    # malformed /v1/add bodies are client errors, not daemon faults
+    assert status_of("/v1/add", {"codes": [[1, -1], [1]]}) == 400   # ragged
+    assert status_of("/v1/add", {"codes": [[1.0, -1.0]]}) == 400    # width
+
+
+def test_encode_empty_texts(server):
+    srv, service, retriever, _ = server
+    out = _call(srv, "/v1/encode", {"texts": []})
+    assert out["codes"] == []
 
 
 def test_add_bootstraps_missing_index():
@@ -280,6 +293,11 @@ def test_no_batching_mode_still_serves():
     want = retriever.encode_texts(ids).astype(int)
     np.testing.assert_array_equal(np.asarray(got["codes"]), want)
     assert service.healthz()["batching"]["enabled"] is False
+    with pytest.raises(ServiceError, match="batch_size"):
+        service.encode({"ids": ids.tolist(), "batch_size": 0})
+    # empty input returns an empty code list instead of crashing _chunked
+    assert service.encode({"ids": np.empty((0, retriever.cfg.max_words),
+                                           int).tolist()})["codes"] == []
 
 
 def test_images_jpeg_b64_roundtrip(server):
