@@ -19,8 +19,11 @@ Layout of a cache directory:
                 fingerprint ties the cache to the dataset's sources.
 
 Cache payload is the post-resize uint8 image (what PIL yields before
-ToTensor), bit-identical between the native loader and the PIL fallback,
-and between cached and uncached runs (tests/test_cache.py).
+ToTensor): bit-identical between cached and uncached runs USING THE SAME
+decoder, while the native C++ loader and the PIL fallback agree within the
+documented <=2/255 resize-rounding envelope (tests/test_cache.py,
+tests/test_native_loader.py) — a cache built on one decoder and read on a
+machine with the other differs by at most that envelope.
 """
 
 from __future__ import annotations
@@ -42,7 +45,7 @@ def dataset_fingerprint(dataset: CrossModalDataset) -> str:
     """Identity of (sources, resolution, transform) — a cache built for a
     different split/resolution/transform must never be silently reused."""
     h = hashlib.sha256()
-    h.update(f"v1|n={len(dataset)}|r={dataset.resolution}|"
+    h.update(f"v2|n={len(dataset)}|r={dataset.resolution}|"
              f"train={int(dataset.is_train)}|".encode())
     for i in range(len(dataset)):
         src = dataset.raw.indexes[i]
@@ -62,6 +65,14 @@ def dataset_fingerprint(dataset: CrossModalDataset) -> str:
                 s = src.item() if isinstance(src, np.ndarray) else src
                 path = str(s)
             h.update(path.encode())
+            try:
+                # an image edited IN PLACE (same filename) must invalidate
+                # the cache: fold in size + mtime (one stat per item —
+                # negligible next to the decode the cache exists to avoid)
+                st = os.stat(path)
+                h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+            except OSError:
+                pass  # missing file fails later at decode with a clear error
         h.update(b"|")
     return h.hexdigest()
 
@@ -118,7 +129,13 @@ class ImageCache:
         os.makedirs(path, exist_ok=True)
 
         n, r = len(dataset), dataset.resolution
-        tmp = os.path.join(path, f"{_DATA}.tmp.{os.getpid()}")
+        # pid alone is NOT unique across hosts sharing a cache dir (NFS
+        # multi-host runs); a uuid keeps concurrent builders from
+        # interleaving writes into one tmp file
+        import uuid
+
+        token = f"{os.getpid()}.{uuid.uuid4().hex[:8]}"
+        tmp = os.path.join(path, f"{_DATA}.tmp.{token}")
         out = np.memmap(tmp, np.uint8, mode="w+", shape=(n, r, r, 3))
         try:
             from ccmh.data import native
@@ -139,14 +156,20 @@ class ImageCache:
                         logger.info(f"image cache {path}: {start}/{n}")
             out.flush()
             del out
+            # invalidate the OLD meta before swapping in the new data file:
+            # a crash between the two replaces must not leave stale meta
+            # blessing fresh data (same-shape rebuilds would pass every
+            # validity check while serving the wrong pixels)
+            if os.path.exists(meta_path):
+                os.unlink(meta_path)
             os.replace(tmp, os.path.join(path, _DATA))
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
-        with open(meta_path + f".tmp.{os.getpid()}", "w") as fh:
+        with open(meta_path + f".tmp.{token}", "w") as fh:
             json.dump({"n": n, "resolution": r,
                        "is_train": bool(dataset.is_train), "fingerprint": fp}, fh)
-        os.replace(meta_path + f".tmp.{os.getpid()}", meta_path)
+        os.replace(meta_path + f".tmp.{token}", meta_path)
         return ImageCache(path)
 
 

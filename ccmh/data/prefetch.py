@@ -45,9 +45,14 @@ def device_prefetch(
     while True:
         while not exhausted and len(buf) < depth:
             try:
-                buf.append(put(next(it)))
+                item = next(it)
             except StopIteration:
                 exhausted = True
+            else:
+                # put() runs OUTSIDE the except: a StopIteration leaking out
+                # of a caller-supplied put must propagate as an error, not be
+                # mistaken for iterator exhaustion (silently truncated epoch)
+                buf.append(put(item))
         if not buf:
             return
         yield buf.popleft()

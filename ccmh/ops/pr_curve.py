@@ -50,32 +50,64 @@ def _chunk_hists(q_codes, r_codes, q_labels, r_labels, n_bins: int,
     return A, R, jnp.sum(R, axis=1)
 
 
-def _all_hists(q_codes, r_codes, q_labels, r_labels, chunk: Optional[int],
-               dist_fn=None, max_dist: Optional[int] = None):
+def compute_hists(q_codes, r_codes, q_labels, r_labels,
+                  chunk: Optional[int] = None, dist_fn=None,
+                  max_dist: Optional[int] = None):
+    """(A, R, tsum) per-query distance histograms — the shared input of
+    both curves.  Compute once and pass as ``hists=`` to :func:`pr_curve`
+    AND :func:`precision_at_n` to avoid repeating the Q x N distance pass
+    (the dominant cost at gallery scale)."""
     q_codes = np.asarray(q_codes)
+    q_labels = np.asarray(q_labels)
     if max_dist is None:
         if dist_fn is not None:
             raise ValueError("custom dist_fn requires max_dist")
         max_dist = q_codes.shape[1]                 # Hamming dist in [0, K]
     n_bins = max_dist + 1
-    chunk = min(chunk or 2048, max(1, q_codes.shape[0]))
+    if q_codes.shape[0] == 0:
+        z = np.zeros((0, n_bins), np.float32)
+        return z, z.copy(), np.zeros((0,), np.float32)
+    if chunk is None:
+        # size the [chunk, N] working set from the device memory budget,
+        # like the mAP path (a hardcoded 2048 OOMs at 1M galleries where
+        # calc_map on the same inputs succeeds)
+        from ccmh.ops.map_metric import _chunk_budget_elems
+
+        n = np.asarray(r_codes).shape[0]
+        chunk = max(64, min(2048, _chunk_budget_elems() // max(n, 1)))
+    chunk = min(chunk, q_codes.shape[0])
     r_dev = jax.device_put(jnp.asarray(r_codes))
     rl_dev = jax.device_put(jnp.asarray(r_labels, jnp.float32))
     parts = []
     for s in range(0, q_codes.shape[0], chunk):
-        parts.append([np.asarray(x) for x in _chunk_hists(
-            jnp.asarray(q_codes[s:s + chunk]), r_dev,
-            jnp.asarray(np.asarray(q_labels)[s:s + chunk], np.float32),
-            rl_dev, n_bins, dist_fn)])
+        qc, ql = q_codes[s:s + chunk], q_labels[s:s + chunk]
+        real = qc.shape[0]
+        if real < chunk:  # zero-pad: every chunk runs ONE compiled program
+            qc = np.concatenate(
+                [qc, np.zeros((chunk - real,) + qc.shape[1:], qc.dtype)])
+            ql = np.concatenate(
+                [ql, np.zeros((chunk - real,) + ql.shape[1:], ql.dtype)])
+        out = _chunk_hists(jnp.asarray(qc), r_dev,
+                           jnp.asarray(ql, jnp.float32), rl_dev,
+                           n_bins, dist_fn)
+        parts.append([np.asarray(x)[:real] for x in out])
     A = np.concatenate([p[0] for p in parts])       # [Q, n_bins]
     R = np.concatenate([p[1] for p in parts])
     tsum = np.concatenate([p[2] for p in parts])    # [Q]
     return A, R, tsum
 
 
+def _all_hists(q_codes, r_codes, q_labels, r_labels, chunk, dist_fn,
+               max_dist, hists):
+    if hists is not None:
+        return hists
+    return compute_hists(q_codes, r_codes, q_labels, r_labels, chunk,
+                         dist_fn, max_dist)
+
+
 def pr_curve(
     q_codes, r_codes, q_labels, r_labels, *, chunk: Optional[int] = None,
-    dist_fn=None, max_dist: Optional[int] = None,
+    dist_fn=None, max_dist: Optional[int] = None, hists=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(precision [K+1], recall [K+1]) at Hamming radii 0..K.
 
@@ -86,7 +118,7 @@ def pr_curve(
     min-distance ranking; it must return int32 distances in [0, max_dist].
     """
     A, R, tsum = _all_hists(q_codes, r_codes, q_labels, r_labels, chunk,
-                            dist_fn, max_dist)
+                            dist_fn, max_dist, hists)
     valid = tsum > 0
     ret = np.cumsum(A, axis=1)                      # retrieved within <= r
     rel = np.cumsum(R, axis=1)                      # relevant within <= r
@@ -101,13 +133,13 @@ def pr_curve(
 def precision_at_n(
     q_codes, r_codes, q_labels, r_labels, ns: Sequence[int],
     *, chunk: Optional[int] = None, dist_fn=None,
-    max_dist: Optional[int] = None,
+    max_dist: Optional[int] = None, hists=None,
 ) -> np.ndarray:
     """Mean P@N for each N in ``ns`` (expected value over random tie
     permutations; exact when the ranking is tie-free).  Queries with no
     relevant items are skipped, matching :func:`pr_curve`."""
     A, R, tsum = _all_hists(q_codes, r_codes, q_labels, r_labels, chunk,
-                            dist_fn, max_dist)
+                            dist_fn, max_dist, hists)
     valid = tsum > 0
     L = np.cumsum(A, axis=1) - A                    # items strictly closer
     ns_arr = np.asarray(list(ns), np.float64)       # [M]
@@ -140,13 +172,14 @@ def _main(argv=None) -> int:
     mat = scio.loadmat(args.mat)
     qf, rf = ("q_img", "r_txt") if args.direction == "i2t" else ("q_txt", "r_img")
     qB, rB, qL, rL = mat[qf], mat[rf], mat["q_l"], mat["r_l"]
-    precision, recall = pr_curve(qB, rB, qL, rL)
+    hists = compute_hists(qB, rB, qL, rL)   # one distance pass, both curves
+    precision, recall = pr_curve(qB, rB, qL, rL, hists=hists)
     if args.topn:
         ns = [int(x) for x in args.topn.split(",")]
     else:
         n = rB.shape[0]
         ns = sorted({int(x) for x in np.logspace(0, np.log10(n), 12)})
-    p_at_n = precision_at_n(qB, rB, qL, rL, ns)
+    p_at_n = precision_at_n(qB, rB, qL, rL, ns, hists=hists)
     if args.out:
         scio.savemat(args.out, {
             "radius": np.arange(len(precision)), "precision": precision,

@@ -557,7 +557,7 @@ class Trainer:
         device (ops/pr_curve.py) and written next to the code dumps.  The
         reference stops at dumping the raw codes for external plotting;
         this writes the plottable curves themselves."""
-        from ccmh.ops.pr_curve import pr_curve, precision_at_n
+        from ccmh.ops.pr_curve import compute_hists, pr_curve, precision_at_n
 
         save_dir = os.path.join(self.cfg.save_dir, "PR_cruve")
         os.makedirs(save_dir, exist_ok=True)
@@ -566,10 +566,15 @@ class Trainer:
         kw = dict(dist_fn=self.eval_dist_fn,
                   max_dist=self.cfg.output_dim) if self.eval_dist_fn else {}
         for name, (qB, rB) in (("i2t", (q_img, r_txt)), ("t2i", (q_txt, r_img))):
+            # one Q x N distance pass feeds BOTH curves
+            hists = compute_hists(qB, rB, self.query_labels,
+                                  self.retrieval_labels, **kw)
             precision, recall = pr_curve(
-                qB, rB, self.query_labels, self.retrieval_labels, **kw)
+                qB, rB, self.query_labels, self.retrieval_labels,
+                hists=hists, **kw)
             p_at_n = precision_at_n(
-                qB, rB, self.query_labels, self.retrieval_labels, ns, **kw)
+                qB, rB, self.query_labels, self.retrieval_labels, ns,
+                hists=hists, **kw)
             scio.savemat(
                 os.path.join(save_dir, f"curves-{name}.mat"),
                 {"radius": np.arange(len(precision)), "precision": precision,

@@ -92,6 +92,44 @@ def test_cache_reuse_and_fingerprint_invalidation(tmp_path):
     np.testing.assert_array_equal(cache3.gather([0])[0], ds2.load_image_u8(0))
 
 
+def test_fingerprint_tracks_in_place_file_edits(tmp_path):
+    """Editing an image file IN PLACE (same filename) must invalidate the
+    cache: the fingerprint folds in size+mtime, not just the path string."""
+    ds = _jpeg_dataset(tmp_path, [(40, 40), (40, 40)])
+    fp1 = dataset_fingerprint(ds)
+    p = str(ds.raw.indexes[0])
+    arr = (np.random.RandomState(9).rand(40, 40, 3) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(p, quality=92)
+    os.utime(p, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    assert dataset_fingerprint(ds) != fp1
+
+
+def test_rebuild_never_leaves_stale_meta_over_new_data(tmp_path):
+    """During a rebuild the OLD meta.json is removed before the new data
+    file lands: a crash between the two replaces must not leave a stale
+    fingerprint blessing different pixels."""
+    ds = _array_dataset()
+    path = str(tmp_path / "c")
+    ImageCache.build(ds, path)
+    meta = os.path.join(path, "meta.json")
+
+    real_replace = os.replace
+    seen = {}
+
+    def tracking_replace(src, dst):
+        if dst.endswith("images.u8"):
+            seen["meta_gone_at_data_swap"] = not os.path.exists(meta)
+        return real_replace(src, dst)
+
+    ds2 = _array_dataset(seed=11)
+    import unittest.mock as mock
+
+    with mock.patch("os.replace", tracking_replace):
+        cache = ImageCache.build(ds2, path)
+    assert seen["meta_gone_at_data_swap"] is True
+    np.testing.assert_array_equal(cache.gather([0])[0], ds2.load_image_u8(0))
+
+
 def test_device_normalize_matches_host():
     """clip/model.py normalize_pixels (on-device) == dataset.py normalize_u8
     (host) — same op order, float32; this is what makes uint8-to-the-device

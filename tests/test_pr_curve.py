@@ -100,6 +100,31 @@ def test_precision_at_n_single_tie_group_closed_form():
     np.testing.assert_allclose(got, [want] * len(ns), atol=1e-9)
 
 
+def test_shared_hists_match_direct_and_ragged_chunks():
+    """compute_hists once -> both curves identical to the direct calls, and
+    a ragged final chunk (zero-padded to the fixed chunk program) changes
+    nothing."""
+    from ccmh.ops.pr_curve import compute_hists, precision_at_n
+
+    qB, rB, qL, rL = random_case(q=23)
+    hists = compute_hists(qB, rB, qL, rL, chunk=7)   # 23 = 7+7+7+2 ragged
+    p1, r1 = pr_curve(qB, rB, qL, rL)
+    p2, r2 = pr_curve(qB, rB, qL, rL, hists=hists)
+    np.testing.assert_allclose(p2, p1, atol=1e-6)
+    np.testing.assert_allclose(r2, r1, atol=1e-6)
+    ns = [1, 5, 20]
+    np.testing.assert_allclose(
+        precision_at_n(qB, rB, qL, rL, ns, hists=hists),
+        precision_at_n(qB, rB, qL, rL, ns), atol=1e-6)
+
+
+def test_pr_curve_empty_queries():
+    qB, rB, qL, rL = random_case(q=4)
+    p, r = pr_curve(qB[:0], rB, qL[:0], rL)
+    assert p.shape == r.shape == (qB.shape[1] + 1,)
+    assert np.all(p == 0) and np.all(r == 0)
+
+
 def test_pr_curve_cli_roundtrip(tmp_path):
     import scipy.io as scio
 

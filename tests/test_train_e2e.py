@@ -356,6 +356,15 @@ def test_device_prefetch_order_and_exhaustion():
     events.clear()
     assert [b["i"] for b in device_prefetch(batches, put, depth=1)] == list(range(5))
     assert events == [("put", i) for i in range(5)]
+    # a StopIteration leaking from put() must PROPAGATE, not be mistaken
+    # for iterator exhaustion (which would silently truncate the epoch)
+    def bad_put(b):
+        if b["i"] == 2:
+            raise StopIteration("leaked")
+        return b
+
+    with pytest.raises((StopIteration, RuntimeError)):
+        list(device_prefetch(batches, bad_put, depth=2))
 
 
 def test_scan_unroll_identical(tmp_path):
