@@ -13,10 +13,16 @@ per batch is ~a memcpy — the TPU never waits on JPEG decode.
 
 Layout of a cache directory:
 
-    images.u8   raw C-order uint8 array, shape (N, R, R, 3)
-    meta.json   {"n", "resolution", "is_train", "fingerprint"} — written
-                last, so its presence marks a complete build; the
-                fingerprint ties the cache to the dataset's sources.
+    images.<fp12>.u8   raw C-order uint8 array, shape (N, R, R, 3); the
+                       filename embeds the first 12 hex chars of the
+                       dataset fingerprint
+    meta.json          {"n", "resolution", "is_train", "fingerprint",
+                       "data"} — written last, so its presence marks a
+                       complete build; "data" names the exact payload
+                       file, so a meta can only ever bless the pixels
+                       built for ITS fingerprint (concurrent builders of
+                       divergent datasets each land their own payload —
+                       whichever meta wins references matching data).
 
 Cache payload is the post-resize uint8 image (what PIL yields before
 ToTensor): bit-identical between cached and uncached runs USING THE SAME
@@ -37,8 +43,12 @@ import numpy as np
 
 from ccmh.data.dataset import CrossModalDataset
 
-_DATA = "images.u8"
+_DATA = "images.u8"       # legacy (pre-v3) payload name, still readable
 _META = "meta.json"
+
+
+def _data_name(fingerprint: str) -> str:
+    return f"images.{fingerprint[:12]}.u8"
 
 
 def dataset_fingerprint(dataset: CrossModalDataset) -> str:
@@ -85,7 +95,8 @@ class ImageCache:
             self.meta = json.load(fh)
         self.path = path
         n, r = self.meta["n"], self.meta["resolution"]
-        self.images = np.memmap(os.path.join(path, _DATA), np.uint8,
+        data = self.meta.get("data", _DATA)   # legacy metas name images.u8
+        self.images = np.memmap(os.path.join(path, data), np.uint8,
                                 mode="r", shape=(n, r, r, 3))
 
     def __len__(self) -> int:
@@ -110,10 +121,16 @@ class ImageCache:
         cache for ``dataset``; otherwise decode every item into it.
 
         Decode uses the native C++ batch loader for JPEG paths (all cores,
-        GIL-free) and PIL threads for everything else.  The data file is
-        written under a per-pid tmp name and renamed only when complete, and
-        meta.json is written after that — a crashed or concurrent build can
-        never be mistaken for a finished one.
+        GIL-free) and PIL threads for everything else.  The payload is
+        written under a pid+uuid tmp name, renamed to its
+        fingerprint-derived name only when complete, and meta.json (which
+        references that exact payload file) is written after that — a
+        crashed build can never be mistaken for a finished one, the old
+        cache stays readable throughout a rebuild, and a meta can only
+        bless the pixels built for ITS fingerprint even when concurrent
+        builders point divergent datasets at one path (each lands its own
+        payload; the losing builder's payload is garbage-collected by the
+        next successful build).
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -135,7 +152,8 @@ class ImageCache:
         import uuid
 
         token = f"{os.getpid()}.{uuid.uuid4().hex[:8]}"
-        tmp = os.path.join(path, f"{_DATA}.tmp.{token}")
+        data_name = _data_name(fp)
+        tmp = os.path.join(path, f"{data_name}.tmp.{token}")
         out = np.memmap(tmp, np.uint8, mode="w+", shape=(n, r, r, 3))
         try:
             from ccmh.data import native
@@ -156,20 +174,32 @@ class ImageCache:
                         logger.info(f"image cache {path}: {start}/{n}")
             out.flush()
             del out
-            # invalidate the OLD meta before swapping in the new data file:
-            # a crash between the two replaces must not leave stale meta
-            # blessing fresh data (same-shape rebuilds would pass every
-            # validity check while serving the wrong pixels)
-            if os.path.exists(meta_path):
-                os.unlink(meta_path)
-            os.replace(tmp, os.path.join(path, _DATA))
+            # the payload lands under its fingerprint-derived name; the old
+            # meta (if any) keeps referencing the OLD payload until the new
+            # meta atomically replaces it, so there is no window in which a
+            # fingerprint blesses pixels it was not built from
+            os.replace(tmp, os.path.join(path, data_name))
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
         with open(meta_path + f".tmp.{token}", "w") as fh:
             json.dump({"n": n, "resolution": r,
-                       "is_train": bool(dataset.is_train), "fingerprint": fp}, fh)
+                       "is_train": bool(dataset.is_train),
+                       "fingerprint": fp, "data": data_name}, fh)
         os.replace(meta_path + f".tmp.{token}", meta_path)
+        # garbage-collect superseded payloads (legacy images.u8, previous
+        # fingerprints).  In-flight ".tmp." files are skipped — they belong
+        # to live concurrent builders.  A concurrent divergent builder's
+        # completed payload may be collected here; its meta write then
+        # yields a cache whose open fails cleanly and rebuilds — a visible
+        # retry, never wrong pixels.
+        for name in os.listdir(path):
+            if (name != data_name and name != _META and ".tmp." not in name
+                    and (name == _DATA or name.startswith("images."))):
+                try:
+                    os.unlink(os.path.join(path, name))
+                except OSError:
+                    pass
         return ImageCache(path)
 
 

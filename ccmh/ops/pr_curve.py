@@ -67,13 +67,14 @@ def compute_hists(q_codes, r_codes, q_labels, r_labels,
     if q_codes.shape[0] == 0:
         z = np.zeros((0, n_bins), np.float32)
         return z, z.copy(), np.zeros((0,), np.float32)
-    if chunk is None:
-        # size the [chunk, N] working set from the device memory budget,
-        # like the mAP path (a hardcoded 2048 OOMs at 1M galleries where
-        # calc_map on the same inputs succeeds)
+    if chunk is None or chunk <= 0:
+        # None / 0 / negative -> auto: size the [chunk, N] working set from
+        # the device memory budget, like the mAP path (a hardcoded 2048
+        # OOMs at 1M galleries where calc_map on the same inputs succeeds)
         from ccmh.ops.map_metric import _chunk_budget_elems
 
-        n = np.asarray(r_codes).shape[0]
+        # .shape avoids np.asarray()'s device->host copy of a resident gallery
+        n = r_codes.shape[0] if hasattr(r_codes, "shape") else len(r_codes)
         chunk = max(64, min(2048, _chunk_budget_elems() // max(n, 1)))
     chunk = min(chunk, q_codes.shape[0])
     r_dev = jax.device_put(jnp.asarray(r_codes))

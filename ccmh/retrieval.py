@@ -318,8 +318,11 @@ class HashIndex:
                  mesh=None, dist_fn: Optional[Callable] = None,
                  max_dist: Optional[int] = None, chunk: int = 1024):
         codes = np.asarray(codes)
-        if codes.ndim != 2:
-            raise ValueError(f"codes must be [N, K], got {codes.shape}")
+        if codes.ndim != 2 or codes.shape[1] == 0:
+            # a zero-bit index would accept the build, then reject every
+            # real-width add()/search() forever (serve's /v1/add bootstrap
+            # must 400 on [[], []], not create a poisoned index)
+            raise ValueError(f"codes must be [N, K>=1], got {codes.shape}")
         if dist_fn is not None and mesh is not None:
             raise ValueError("custom dist_fn search is single-device")
         self.n, self.k_bits = codes.shape
@@ -643,12 +646,19 @@ class Retriever:
             ids = tokenize_batch(texts, max_words=self.cfg.max_words)
         else:
             ids = np.asarray(texts, np.int32)
+            if ids.ndim == 1 and ids.size == 0:
+                # [] / empty list decays to 1-D; the empty-batch probe in
+                # _chunked needs the real [0, max_words] token shape
+                ids = ids.reshape(0, self.cfg.max_words)
         return self._chunked(self._text_codes, ids.astype(np.int32), batch_size)
 
     def encode_images(self, images, batch_size: int = 256) -> np.ndarray:
         """[B, H, W, 3] CLIP-normalized float images -> ±1 codes."""
-        return self._chunked(self._image_codes,
-                             np.asarray(images, np.float32), batch_size)
+        images = np.asarray(images, np.float32)
+        if images.ndim == 1 and images.size == 0:
+            r = self.clip_cfg.image_resolution
+            images = images.reshape(0, r, r, 3)
+        return self._chunked(self._image_codes, images, batch_size)
 
     # ------------------------------------------------------------- indexing
     def _index_kw(self) -> Dict[str, Any]:

@@ -302,7 +302,11 @@ class RetrievalService:
                 except (ValueError, TypeError):
                     raise ServiceError("'ids' must be a rectangular int array")
                 mw = self.retriever.cfg.max_words
-                if ids.size == 0:  # "[]" decays to 1-D; it's an empty batch
+                if ids.ndim == 1 and ids.size == 0:
+                    # "[]" decays to 1-D; it's an empty batch.  (ndim-2
+                    # empties like [[], []] keep their shape and must fail
+                    # the width check below — 2 rows in, 0 codes out with a
+                    # 200 would silently drop rows.)
                     ids = ids.reshape(0, mw)
                 if ids.ndim != 2 or ids.shape[1] != mw:
                     # width must be validated BEFORE enqueueing: a wrong-width

@@ -80,10 +80,11 @@ def test_cache_reuse_and_fingerprint_invalidation(tmp_path):
     ds = _array_dataset()
     path = str(tmp_path / "c")
     cache = ImageCache.build(ds, path)
-    stamp = os.path.getmtime(os.path.join(path, "images.u8"))
+    data_file = os.path.join(path, cache.meta["data"])
+    stamp = os.path.getmtime(data_file)
     # same dataset -> reopened, not rebuilt
     cache2 = ImageCache.build(ds, path)
-    assert os.path.getmtime(os.path.join(path, "images.u8")) == stamp
+    assert os.path.getmtime(data_file) == stamp
     np.testing.assert_array_equal(cache.gather([1]), cache2.gather([1]))
     # different pixels -> different fingerprint -> rebuild
     ds2 = _array_dataset(seed=7)
@@ -105,29 +106,41 @@ def test_fingerprint_tracks_in_place_file_edits(tmp_path):
 
 
 def test_rebuild_never_leaves_stale_meta_over_new_data(tmp_path):
-    """During a rebuild the OLD meta.json is removed before the new data
-    file lands: a crash between the two replaces must not leave a stale
-    fingerprint blessing different pixels."""
+    """meta.json can only ever bless the payload built for ITS fingerprint:
+    the payload filename embeds the fingerprint and meta references it by
+    name, so a crash at ANY point of a rebuild leaves either the complete
+    old cache or the complete new one — never a stale fingerprint over
+    different pixels."""
     ds = _array_dataset()
     path = str(tmp_path / "c")
-    ImageCache.build(ds, path)
-    meta = os.path.join(path, "meta.json")
+    cache1 = ImageCache.build(ds, path)
+    old_meta = dict(cache1.meta)
+    old_pixels = cache1.gather([0])[0].copy()
 
+    # simulate a crash mid-rebuild: the new payload has landed but the
+    # meta write dies -> the directory must still open as the OLD cache
     real_replace = os.replace
-    seen = {}
+    import unittest.mock as mock
 
-    def tracking_replace(src, dst):
-        if dst.endswith("images.u8"):
-            seen["meta_gone_at_data_swap"] = not os.path.exists(meta)
+    def dying_replace(src, dst):
+        if dst.endswith("meta.json"):
+            raise RuntimeError("crash before meta write")
         return real_replace(src, dst)
 
     ds2 = _array_dataset(seed=11)
-    import unittest.mock as mock
+    with mock.patch("os.replace", dying_replace):
+        with pytest.raises(RuntimeError):
+            ImageCache.build(ds2, path)
+    survivor = ImageCache(path)
+    assert survivor.meta == old_meta
+    np.testing.assert_array_equal(survivor.gather([0])[0], old_pixels)
 
-    with mock.patch("os.replace", tracking_replace):
-        cache = ImageCache.build(ds2, path)
-    assert seen["meta_gone_at_data_swap"] is True
-    np.testing.assert_array_equal(cache.gather([0])[0], ds2.load_image_u8(0))
+    # the completed rebuild swaps both atomically and GCs the old payload
+    cache2 = ImageCache.build(ds2, path)
+    assert cache2.meta["data"] != old_meta["data"]
+    np.testing.assert_array_equal(cache2.gather([0])[0], ds2.load_image_u8(0))
+    payloads = [n for n in os.listdir(path) if n.startswith("images.")]
+    assert payloads == [cache2.meta["data"]]
 
 
 def test_device_normalize_matches_host():

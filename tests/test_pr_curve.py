@@ -125,6 +125,18 @@ def test_pr_curve_empty_queries():
     assert np.all(p == 0) and np.all(r == 0)
 
 
+def test_pr_curve_chunk_zero_means_auto():
+    """chunk=0 historically meant 'use the default' (`chunk or 2048`); the
+    memory-budget rewrite must keep treating non-positive as auto instead
+    of raising range(step=0)."""
+    qB, rB, qL, rL = random_case(q=6)
+    want_p, want_r = pr_curve(qB, rB, qL, rL)
+    for c in (0, -1):
+        p, r = pr_curve(qB, rB, qL, rL, chunk=c)
+        np.testing.assert_allclose(p, want_p)
+        np.testing.assert_allclose(r, want_r)
+
+
 def test_pr_curve_cli_roundtrip(tmp_path):
     import scipy.io as scio
 

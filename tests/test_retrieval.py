@@ -231,6 +231,21 @@ def test_retriever_chunked_encode_padding():
     np.testing.assert_array_equal(a, b)
 
 
+def test_retriever_empty_list_inputs():
+    """encode_texts([]) / encode_images([]): the 1-D empty array a bare
+    list decays to must normalize to the real [0, ...] input shape before
+    the _chunked probe (regression: the probe padded the 1-D array and
+    crashed inside the tower trace)."""
+    r, _, _, _, cfg = _build_retriever()
+    out = r.encode_texts([])
+    assert out.shape == (0, cfg.output_dim)
+    out = r.encode_images([])
+    assert out.shape == (0, cfg.output_dim)
+    # pre-tokenized 2-D empties keep working too
+    out = r.encode_texts(np.empty((0, cfg.max_words), np.int32))
+    assert out.shape == (0, cfg.output_dim)
+
+
 def test_retriever_e2e_search_with_mask_method():
     """MITH (needs_mask): key_padding_mask is derived inside the wrapper."""
     r, _, _, _, _ = _build_retriever("MITH")

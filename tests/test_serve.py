@@ -130,6 +130,10 @@ def test_error_mapping(server):
     # malformed /v1/add bodies are client errors, not daemon faults
     assert status_of("/v1/add", {"codes": [[1, -1], [1]]}) == 400   # ragged
     assert status_of("/v1/add", {"codes": [[1.0, -1.0]]}) == 400    # width
+    # nonzero-row zero-width batches must 400, not return 0 codes for 2 rows
+    assert status_of("/v1/encode", {"ids": [[], []]}) == 400
+    # ... and zero-width codes must not bootstrap a poisoned 0-bit index
+    assert status_of("/v1/add", {"codes": [[], []], "index": "fresh"}) == 400
 
 
 def test_encode_empty_texts(server):
