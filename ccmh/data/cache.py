@@ -132,17 +132,45 @@ class ImageCache:
         payload; the losing builder's payload is garbage-collected by the
         next successful build).
         """
-        from concurrent.futures import ThreadPoolExecutor
-
         fp = dataset_fingerprint(dataset)
         meta_path = os.path.join(path, _META)
-        if not force and os.path.exists(meta_path):
+        last_err: Optional[BaseException] = None
+        for _attempt in range(3):
+            if not force and os.path.exists(meta_path):
+                try:
+                    cache = ImageCache(path)
+                    if cache.meta.get("fingerprint") == fp:
+                        return cache
+                except (OSError, ValueError, KeyError):
+                    pass  # corrupt/partial — rebuild
+            force = False  # a force rebuild happens once; retries may reuse
+            ImageCache._build_once(dataset, path, fp, meta_path,
+                                   num_workers=num_workers, chunk=chunk,
+                                   logger=logger)
+            # Validate the reopen against the fingerprint WE just built: a
+            # concurrent divergent builder may have replaced meta.json (its
+            # pixels, not ours) or garbage-collected our freshly-landed
+            # payload — either way loop back into the build instead of
+            # handing the caller someone else's pixels or an exception.
             try:
                 cache = ImageCache(path)
                 if cache.meta.get("fingerprint") == fp:
                     return cache
-            except (OSError, ValueError, KeyError):
-                pass  # corrupt/partial — rebuild
+                last_err = ValueError(
+                    f"concurrent builder won {path} with fingerprint "
+                    f"{cache.meta.get('fingerprint')!r} != {fp!r}")
+            except (OSError, ValueError, KeyError) as e:
+                last_err = e
+        raise RuntimeError(
+            f"image cache build at {path} lost 3 consecutive races to "
+            f"concurrent divergent builders") from last_err
+
+    @staticmethod
+    def _build_once(dataset, path, fp, meta_path, *, num_workers, chunk,
+                    logger) -> None:
+        """One decode pass + atomic payload/meta landing (no validation)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         os.makedirs(path, exist_ok=True)
 
         n, r = len(dataset), dataset.resolution
@@ -189,18 +217,31 @@ class ImageCache:
         os.replace(meta_path + f".tmp.{token}", meta_path)
         # garbage-collect superseded payloads (legacy images.u8, previous
         # fingerprints).  In-flight ".tmp." files are skipped — they belong
-        # to live concurrent builders.  A concurrent divergent builder's
-        # completed payload may be collected here; its meta write then
-        # yields a cache whose open fails cleanly and rebuilds — a visible
-        # retry, never wrong pixels.
+        # to live concurrent builders (which write continuously, keeping
+        # their mtime fresh) — UNLESS they are older than a day: a builder
+        # SIGKILLed mid-write never runs its `finally` unlink, and each
+        # orphan is a full dataset-sized file.  A concurrent divergent
+        # builder's completed payload may be collected here; its meta write
+        # then yields a cache whose reopen fails validation and retries in
+        # build() above — a visible retry, never wrong pixels.
+        import time
+
+        stale_tmp_s = 24 * 3600.0
         for name in os.listdir(path):
-            if (name != data_name and name != _META and ".tmp." not in name
-                    and (name == _DATA or name.startswith("images."))):
+            full = os.path.join(path, name)
+            if ".tmp." in name:
                 try:
-                    os.unlink(os.path.join(path, name))
+                    if time.time() - os.path.getmtime(full) > stale_tmp_s:
+                        os.unlink(full)
                 except OSError:
                     pass
-        return ImageCache(path)
+                continue
+            if (name != data_name and name != _META
+                    and (name == _DATA or name.startswith("images."))):
+                try:
+                    os.unlink(full)
+                except OSError:
+                    pass
 
 
 def open_or_build(

@@ -1,12 +1,43 @@
-"""Method registry: one module per reference method (main.py:18-33)."""
+"""Method registry: one module per reference method (main.py:18-33).
+
+The reference wires its 14 trainers through a static name->module dict
+(main.py:18-33) that cannot lose entries silently; this registry makes the
+same guarantee dynamically: every module in :data:`EXPECTED_METHODS` must
+import and register, and any failure is raised — loudly — the first time
+the registry is consulted.  ``available_methods()`` therefore IS the
+coverage claim (the DP/TP sweeps and the driver dryrun iterate it), and a
+typo'd dependency in one method module fails the whole suite instead of
+silently shrinking the sweep to 13/14.
+"""
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, List
 
 from ccmh.train.methods.base import Method
 
 _REGISTRY: Dict[str, Method] = {}
+
+# module name -> method name it must register (reference main.py:18-33)
+EXPECTED_METHODS: Dict[str, str] = {
+    "dchmt": "DCHMT",
+    "dsph": "DSPH",
+    "dnph_tmm": "DNpH",
+    "dhaph": "DHaPH",
+    "dmsh_ln": "DMsH_LN",
+    "dscph": "DScPH",
+    "ddwsh": "DDWSH",
+    "ddbh": "DDBH",
+    "dnph_tomm": "DNPH",
+    "twdh": "TwDH",
+    "dpbe": "DPBE",
+    "mith": "MITH",
+    "dpsih": "DPSIH",
+    "dghdgh": "DGHDGH",
+}
+
+_IMPORT_ERRORS: Dict[str, BaseException] = {}
+_LOADED = False
 
 
 def register(method: Method) -> Method:
@@ -21,20 +52,36 @@ def get_method(name: str) -> Method:
     return _REGISTRY[name]
 
 
-def available_methods():
+def available_methods() -> List[str]:
     _ensure_loaded()
     return sorted(_REGISTRY)
 
 
-def _ensure_loaded():
-    # Import method modules lazily so `import ccmh` stays light.
+def _ensure_loaded() -> None:
+    # Import method modules lazily so `import ccmh` stays light; a broken
+    # import is a hard error, not a silently smaller registry.
+    global _LOADED
+    if _LOADED:
+        return
     import importlib
 
-    for mod in (
-        "dchmt", "dsph", "dnph_tmm", "dhaph", "dmsh_ln", "dscph", "ddwsh",
-        "ddbh", "dnph_tomm", "twdh", "dpbe", "mith", "dpsih", "dghdgh",
-    ):
+    for mod in EXPECTED_METHODS:
         try:
             importlib.import_module(f"ccmh.train.methods.{mod}")
-        except ImportError:
-            pass
+        except BaseException as e:  # noqa: BLE001 - collected then raised
+            _IMPORT_ERRORS[mod] = e
+    missing = {m: n for m, n in EXPECTED_METHODS.items() if n not in _REGISTRY}
+    if _IMPORT_ERRORS or missing:
+        lines = [
+            f"  ccmh.train.methods.{m}: {type(e).__name__}: {e}"
+            for m, e in _IMPORT_ERRORS.items()
+        ] + [
+            f"  ccmh.train.methods.{m}: imported but did not register {n!r}"
+            for m, n in missing.items()
+            if m not in _IMPORT_ERRORS
+        ]
+        raise ImportError(
+            "method registry incomplete — refusing to run with a silently "
+            "reduced method set:\n" + "\n".join(lines)
+        )
+    _LOADED = True

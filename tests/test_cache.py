@@ -215,3 +215,69 @@ def test_trainer_cached_equals_uncached(tmp_path):
     np.testing.assert_allclose(maps_c, maps_d, atol=1e-6)
     for a, b in zip(jax.tree.leaves(state_c.params), jax.tree.leaves(state_d.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_build_validates_reopen_after_lost_race(tmp_path):
+    """ADVICE r3: if a concurrent divergent builder replaces meta.json after
+    our build lands, build() must NOT hand back the other builder's pixels —
+    it retries its own build and returns a fingerprint-matching cache."""
+    import unittest.mock as mock
+
+    ds = _array_dataset(seed=3)
+    ds_other = _array_dataset(seed=21)
+    path = str(tmp_path / "c")
+    fp = dataset_fingerprint(ds)
+
+    real_once = ImageCache._build_once
+    calls = {"n": 0}
+
+    def racing_once(dataset, p, f, meta_path, **kw):
+        real_once(dataset, p, f, meta_path, **kw)
+        if calls["n"] == 0:
+            # the rival lands AFTER us, replacing meta with ITS fingerprint
+            real_once(ds_other, p, dataset_fingerprint(ds_other), meta_path,
+                      **kw)
+        calls["n"] += 1
+
+    with mock.patch.object(ImageCache, "_build_once", staticmethod(racing_once)):
+        cache = ImageCache.build(ds, path)
+    assert calls["n"] == 2  # first attempt lost the race, second retried
+    assert cache.meta["fingerprint"] == fp
+    np.testing.assert_array_equal(cache.gather([0])[0], ds.load_image_u8(0))
+
+
+def test_build_gives_up_after_repeated_lost_races(tmp_path):
+    """Three consecutive lost races raise instead of looping forever."""
+    import unittest.mock as mock
+
+    ds = _array_dataset(seed=3)
+    ds_other = _array_dataset(seed=21)
+    path = str(tmp_path / "c")
+    real_once = ImageCache._build_once
+
+    def always_lose(dataset, p, f, meta_path, **kw):
+        real_once(ds_other, p, dataset_fingerprint(ds_other), meta_path, **kw)
+
+    with mock.patch.object(ImageCache, "_build_once", staticmethod(always_lose)):
+        with pytest.raises(RuntimeError, match="lost 3 consecutive races"):
+            ImageCache.build(ds, path)
+
+
+def test_gc_collects_stale_orphaned_tmp_files(tmp_path):
+    """ADVICE r3: a builder SIGKILLed mid-write leaves a dataset-sized
+    '.tmp.' orphan; GC collects it once it is older than a day, while a
+    fresh tmp (a live concurrent builder) is left alone."""
+    ds = _array_dataset()
+    path = str(tmp_path / "c")
+    os.makedirs(path)
+    stale = os.path.join(path, "images.deadbeef0000.u8.tmp.999.aaaa")
+    fresh = os.path.join(path, "images.cafebabe0000.u8.tmp.998.bbbb")
+    for p in (stale, fresh):
+        with open(p, "wb") as fh:
+            fh.write(b"x" * 64)
+    old = os.path.getmtime(stale) - 25 * 3600
+    os.utime(stale, (old, old))
+
+    ImageCache.build(ds, path)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
