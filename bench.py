@@ -17,6 +17,7 @@ eval latency) go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -25,6 +26,67 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+class _Skip(Exception):
+    """Raised inside a bench section when the budget can't cover it (the
+    skip line is printed by _Deadline.allow)."""
+
+
+class _Deadline:
+    """Aggregate wall-clock budget (round-3 postmortem: the driver kills
+    the bench at its own timeout and records rc=124 — a truncated artifact
+    — no matter how many lines already printed.  The bench must ALWAYS
+    exit 0 before that).  Budget via CCMH_BENCH_BUDGET_S (default 1200 s);
+    every secondary section declares a cost estimate and is skipped — with
+    an explicit line, never silently — once the budget can't cover it.  A
+    watchdog thread force-exits 0 at budget + 180 s in case a section
+    wedges on the relay (the headline JSON is printed early, so a watchdog
+    exit still yields a parseable artifact)."""
+
+    def __init__(self, budget_s: float):
+        self.t0 = time.time()
+        self.budget = budget_s
+
+    def remaining(self) -> float:
+        return self.budget - (time.time() - self.t0)
+
+    def allow(self, est_s: float, what: str) -> bool:
+        if self.remaining() >= est_s:
+            return True
+        log(f"bench budget: SKIPPED {what} (est {est_s:.0f}s > "
+            f"{max(self.remaining(), 0):.0f}s left of {self.budget:.0f}s)")
+        return False
+
+    def arm_watchdog(self, grace_s: float = 180.0) -> None:
+        import threading
+
+        def _fire():
+            log(f"bench watchdog: {self.budget:.0f}s budget + "
+                f"{grace_s:.0f}s grace exceeded — forcing exit 0")
+            sys.stderr.flush()
+            sys.stdout.flush()
+            os._exit(0)
+
+        t = threading.Timer(self.budget + grace_s - (time.time() - self.t0),
+                            _fire)
+        t.daemon = True
+        t.start()
+
+
+def _enable_repo_compile_cache():
+    """Persistent XLA compile cache under the repo — works for the
+    relay-attached TPU backend too (measured: a cold 147 s relay compile
+    reloads in 0.5 s).  Makes driver bench re-runs warm, which is what
+    keeps the whole script inside its budget."""
+    try:
+        from ccmh.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".xla_cache"))
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
 
 
 def _bench_ids(B: int):
@@ -124,6 +186,7 @@ def step_main(name: str, remat: bool, dsph_ms):
     DPBE after the MITH bench -> RESOURCE_EXHAUSTED)."""
     from ccmh.clip.model import ClipConfig
 
+    _enable_repo_compile_cache()
     B = 256
     clip_cfg = ClipConfig()
     images = _bench_images(B, clip_cfg)
@@ -157,7 +220,9 @@ def _probe_backend(timeout_s: int = 900) -> bool:
 
 
 def main():
-    if not _probe_backend():
+    dl = _Deadline(float(os.environ.get("CCMH_BENCH_BUDGET_S", "1200")))
+    dl.arm_watchdog()
+    if not _probe_backend(timeout_s=int(max(dl.budget / 2, 120))):
         log("backend probe failed: device enumeration hung/errored "
             "(relay wedged?) — emitting error line instead of hanging")
         print(json.dumps({
@@ -167,6 +232,7 @@ def main():
         }), flush=True)
         sys.exit(1)
 
+    _enable_repo_compile_cache()
     import jax
     import jax.numpy as jnp
 
@@ -241,6 +307,8 @@ def main():
     # _Batcher) coalesces them into a few device calls vs one B=1 XLA
     # call per request
     try:
+        if not dl.allow(90, "serving bench"):
+            raise _Skip
         from concurrent.futures import ThreadPoolExecutor
 
         from ccmh.config import Config as _SCfg
@@ -285,6 +353,8 @@ def main():
             f"{len(s_texts)/t_serial:,.0f} req/s "
             f"({t_serial/t_batched:.1f}x)")
         del s_retr, serial, coalesced
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         log(f"serving bench failed: {e}")
 
@@ -300,7 +370,8 @@ def main():
     # must sustain the device's step rate; uncached decode measured ~151
     # img/s on this 1-core host).  uint8 batches, normalize-on-device.
     try:
-        import os
+        if not dl.allow(300, "input-pipeline bench"):
+            raise _Skip
         import shutil
         import tempfile
 
@@ -390,7 +461,50 @@ def main():
             f"double-buffered puts vs {rates[1]:,.0f} serialized "
             f"({100 * epoch_rate / pure:.0f}% of the {pure:,.0f}/s pure step; "
             f"this host's relay puts at ~11-14 MiB/s bound both)")
+
+        # device-resident epochs (data/resident.py): one split-sized put,
+        # then per-step host traffic is ids/labels only and the image batch
+        # is gathered on-device — the mode the Trainer auto-selects when
+        # the cached split fits HBM (VERDICT r3 item 3: the per-step put,
+        # not decode, bounds this host)
+        from ccmh.data.resident import (
+            FusedBatchPut, ResidentImages, make_resident_step,
+        )
+
+        t0 = time.time()
+        resident = ResidentImages(cache.images)
+        t_pin = time.time() - t0
+        it_meta = BatchIterator(ds, B, shuffle=True, num_workers=8,
+                                image_cache=cache, drop_last=True,
+                                with_images=False)
+        # one put + ONE dispatch per step: unpack + on-device gather + the
+        # train step fused into a single jitted program (the Trainer's
+        # production resident path)
+        stepper = make_resident_step(dsph_step)
+
+        def put_resident(b):
+            buf, spec = FusedBatchPut.pack(
+                {k: v for k, v in b.items() if k != "valid"})
+            return (_jax.device_put(buf), spec)
+
+        n_seen, t0 = 0, time.time()
+        for ep in range(2):
+            it_meta.set_epoch(100 + ep)
+            for buf, spec in device_prefetch(it_meta, put_resident, depth=2):
+                state, m = stepper(state, buf, spec, epoch_zero,
+                                   resident.images)
+                n_seen += B
+        float(m["loss"])
+        res_rate = n_seen / (time.time() - t0)
+        log(f"input pipeline [device-resident epochs]: pin "
+            f"{resident.nbytes / 2**20:.0f} MiB once in {t_pin:.1f}s, then "
+            f"{res_rate:,.0f} samples/s end-to-end "
+            f"({100 * res_rate / pure:.0f}% of the {pure:,.0f}/s pure step "
+            f"vs {100 * epoch_rate / pure:.0f}% streaming) target >=80%")
+        del resident
         shutil.rmtree(tmp, ignore_errors=True)
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         log(f"input-pipeline bench failed: {e}")
 
@@ -404,7 +518,8 @@ def main():
 
     # secondary: native C++ loader host decode throughput vs PIL
     try:
-        import os
+        if not dl.allow(60, "host decode bench"):
+            raise _Skip
         import tempfile
 
         from PIL import Image
@@ -438,12 +553,16 @@ def main():
                 f"({t_pil/t_native:.2f}x)")
         else:
             log("host decode: native loader unavailable (PIL path active)")
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         log(f"host decode bench failed: {e}")
 
     # secondary: host tokenizer throughput, native C++ BPE vs pure Python
     # (the serving daemon's text path tokenizes per request)
     try:
+        if not dl.allow(40, "host tokenize bench"):
+            raise _Skip
         from ccmh.tokenizer import native as bpe_native
         from ccmh.tokenizer.bpe import default_tokenizer
 
@@ -463,12 +582,16 @@ def main():
                 f"vs python {len(texts)/t_py:,.0f} ({t_py/t_nat:.1f}x)")
         else:
             log("host tokenize: native BPE unavailable (python path active)")
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         log(f"host tokenize bench failed: {e}")
 
     # secondary: 1M-item synthetic gallery Hamming ranking at all three
     # supported code widths (BASELINE.md: 1M gallery x {16,32,64} bits)
     try:
+        if not dl.allow(240, "1M-gallery benches"):
+            raise _Skip
         from ccmh.ops.hamming import hamming_distance, hamming_distance_packed
         from ccmh.ops.packing import pack_codes
 
@@ -514,11 +637,15 @@ def main():
         v = float(calc_map(qB, rB, qL, rL, method="hist"))
         log(f"1M-gallery mAP (K=64, {q_n} queries, hist): "
             f"{time.time() - t0:.3f}s (mAP={v:.4f})")
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         log(f"1M-gallery bench failed: {e}")
 
     # secondary: full-gallery Hamming mAP eval latency (COCO-sized)
     try:
+        if not dl.allow(150, "COCO-sized mAP eval bench"):
+            raise _Skip
         rng = np.random.RandomState(2)
         n_gallery, n_query, k = 117_218, 5000, 64
         qB = jnp.asarray((rng.randint(0, 2, (n_query, k)) * 2 - 1).astype(np.int8))
@@ -535,6 +662,20 @@ def main():
                 best = dt if best is None else min(best, dt)
             log(f"full-gallery COCO-sized mAP eval [{method}]: "
                 f"{best:.3f}s (mAP={v:.4f}) target <1s")
+        # reported-number policy (VERDICT r3 item 4): the hist line above is
+        # the contract for the <1 s target — Trainer.valid sweeps every
+        # epoch with hist and re-checks any best-epoch candidate within
+        # EXACT_MARGIN=0.02 using the exact stable-sort metric
+        # (trainer.py:valid; the estimator gap is bounded well inside the
+        # margin by tests/test_ops.py::test_hist_estimator_error_bound);
+        # Trainer.test() reports exact.  The exact sort itself sits at its
+        # bitonic-pass bandwidth floor (ROADMAP: counting-sort and Pallas
+        # variants measured no better in r3).
+        log("mAP eval policy: hist is the per-epoch sweep (the <1s "
+            "contract); exact runs only at best-epoch candidates "
+            "(margin 0.02) and in test()")
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001 - secondary metric must not kill bench
         log(f"mAP bench failed: {e}")
 
@@ -548,6 +689,28 @@ def main():
     # 115.1 full remat) — falling back to remat if HBM conditions differ.
     import subprocess
 
+    # secondary: ViT-L/14-class tower (VERDICT r3 item 6 — the MFU-closure
+    # argument was ViT-B-shaped; this puts the big-tower number in the
+    # record).  Subprocess so its HBM is fully released before the sweep.
+    if dl.allow(300, "ViT-L/14 encode bench"):
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "bench_vitl.py"), "64"],
+                capture_output=True, text=True,
+                timeout=max(dl.remaining() - 60, 120))
+            got = False
+            for line in r.stderr.splitlines():
+                if line.startswith("ViT-L/14"):
+                    log(line)
+                    got = True
+            if not got:
+                log(f"ViT-L bench failed: exit {r.returncode}: "
+                    f"{r.stderr[-300:]}")
+        except subprocess.TimeoutExpired:
+            log("ViT-L bench failed: subprocess timeout")
+
     def _run_step_bench(name, remat):
         cmd = [sys.executable, __file__, "--step", name]
         if remat:
@@ -555,9 +718,11 @@ def main():
         if dsph_ms is not None:
             cmd += ["--dsph-ms", f"{dsph_ms:.1f}"]
         try:
-            # 45 min: MITH's remat compile through the relay has been
-            # observed anywhere from 4 to >25 minutes
-            r = subprocess.run(cmd, capture_output=True, text=True, timeout=2700)
+            # bounded by the aggregate budget (round-3 postmortem: four
+            # serial 45-min-max subprocesses blew the driver timeout and
+            # turned the whole artifact into rc=124)
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=max(dl.remaining() - 45, 60))
         except subprocess.TimeoutExpired:
             log(f"train-step bench failed [{name}]: subprocess timeout")
             return False
@@ -573,10 +738,17 @@ def main():
                 f"{r.stderr[-300:]}")
         return ok
 
-    for name in ("MITH", "DPBE", "DGHDGH", "DHaPH"):
+    sweep = ["MITH", "DPBE", "DGHDGH", "DHaPH"]
+    for i, name in enumerate(sweep):
+        if not dl.allow(240, f"train-step sweep [{name}]"):
+            rest = sweep[i + 1:]
+            if rest:
+                log(f"bench budget: SKIPPED train-step sweep {rest} too")
+            break
         if not _run_step_bench(name, remat=False) and name == "MITH":
-            log("MITH retry with --remat (no-remat failed; likely HBM)")
-            _run_step_bench(name, remat=True)
+            if dl.allow(240, "MITH --remat retry"):
+                log("MITH retry with --remat (no-remat failed; likely HBM)")
+                _run_step_bench(name, remat=True)
 
 
 

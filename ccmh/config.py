@@ -248,6 +248,14 @@ class Config:
     # device ahead of the step so H2D transfer overlaps compute; <=1 means
     # serialized put-then-step
     prefetch_device: int = 2
+    # device-resident epochs (data/resident.py): with cache_images on a
+    # single-device run, pin the decoded uint8 train split to HBM once and
+    # gather each batch on-device — per-step host traffic drops to the
+    # ids/labels.  Bit-exact vs streaming (same cache pixels, same shuffle
+    # and caption draws); "auto" pins when the split fits the budget,
+    # "on" requires it, "off" always streams.
+    device_resident_images: str = "auto"
+    device_resident_budget_mb: int = 6144
 
     # TPU-specific
     remat: bool = False                   # recompute tower activations in bwd

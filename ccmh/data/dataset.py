@@ -238,6 +238,7 @@ class BatchIterator:
         drop_last: bool = False,
         image_cache=None,
         ragged_last: bool = False,
+        with_images: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -259,6 +260,11 @@ class BatchIterator:
         # images straight from the memmap (no decode, no host normalize —
         # normalization happens on-device, clip/model.py normalize_pixels)
         self.image_cache = image_cache
+        # with_images=False skips image assembly entirely (meta + valid
+        # only): the device-resident-epochs mode (data/resident.py) gathers
+        # pixels on-device from the batch's indices, so hauling them off the
+        # host memmap here would be pure waste.
+        self.with_images = with_images
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the shuffle to an epoch index.  Each epoch's permutation is a
@@ -281,6 +287,12 @@ class BatchIterator:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _assemble(self, idx_batch: np.ndarray, n_valid: int, pool) -> Dict[str, np.ndarray]:
+        if not self.with_images:
+            batch = self.dataset.meta_items(idx_batch)
+            valid = np.zeros(len(idx_batch), bool)
+            valid[:n_valid] = True
+            batch["valid"] = valid
+            return batch
         if self.image_cache is not None:
             batch = self.dataset.meta_items(idx_batch)
             batch["image"] = self.image_cache.gather(idx_batch)

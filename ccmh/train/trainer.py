@@ -135,10 +135,26 @@ class Trainer:
         # the devices, so those runs keep the wrap-padded fixed shape.
         ragged = getattr(cfg, "ragged_last", True) and not (
             cfg.mesh_shape and cfg.mesh_shape[0] > 1)
+        # device-resident epochs (data/resident.py): single-device runs
+        # with a decoded cache pin the train split to HBM once; the loader
+        # then skips host image assembly and train_epoch gathers pixels
+        # on-device from each batch's indices.
+        tp = cfg.mesh_shape[1] if len(cfg.mesh_shape) > 1 else 1
+        mesh_transport = tp > 1 or (cfg.mesh_shape and cfg.mesh_shape[0] > 1)
+        self.train_resident = None
+        if caches["train"] is not None:
+            from ccmh.data.resident import ResidentImages
+
+            self.train_resident = ResidentImages.maybe(
+                caches["train"],
+                budget_mb=getattr(cfg, "device_resident_budget_mb", 6144),
+                mode=getattr(cfg, "device_resident_images", "auto"),
+                logger=self.logger, mesh_transport=bool(mesh_transport))
         self.train_loader = BatchIterator(
             self.train_data, cfg.batch_size,
             shuffle=getattr(cfg, "shuffle", True), seed=cfg.seed,
-            num_workers=nw, image_cache=caches["train"], ragged_last=ragged)
+            num_workers=nw, image_cache=caches["train"], ragged_last=ragged,
+            with_images=self.train_resident is None)
         self.query_loader = BatchIterator(
             self.query_data, cfg.eval_batch, shuffle=False, seed=cfg.seed,
             num_workers=nw, image_cache=caches["query"])
@@ -345,6 +361,20 @@ class Trainer:
                 # scalars replicate (shard_batch shards leading axes only)
                 b["epoch"] = epoch_scalar
                 return b
+        elif self.train_resident is not None:
+            # device-resident epochs (data/resident.py): pixels are already
+            # in HBM, the put ships ONE fused uint8 buffer of the remaining
+            # host fields, and a single jitted program unpacks it, gathers
+            # the image batch on-device and runs the train step — one put
+            # + one dispatch per step instead of 4-5 RTTs
+            from ccmh.data.resident import FusedBatchPut, make_resident_step
+
+            if not hasattr(self, "_resident_stepper"):
+                self._resident_stepper = make_resident_step(self.train_step)
+
+            def put(b):
+                buf, spec = FusedBatchPut.pack(b)
+                return (jax.device_put(buf), spec)
         else:
             def put(b):
                 b = {k: jax.device_put(v) for k, v in b.items()}
@@ -356,9 +386,18 @@ class Trainer:
         # put + step serialized (data/prefetch.py)
         from ccmh.data.prefetch import device_prefetch
 
+        if self.train_resident is not None and self.mesh is None:
+            def run_step(state, item):
+                buf, spec = item
+                return self._resident_stepper(
+                    state, buf, spec, epoch_scalar,
+                    self.train_resident.images)
+        else:
+            run_step = self.train_step
+
         for batch in device_prefetch(self.train_loader, put,
                                      depth=getattr(cfg, "prefetch_device", 2)):
-            self.state, metrics = self.train_step(self.state, batch)
+            self.state, metrics = run_step(self.state, batch)
             self.global_step += 1
             step_in_epoch += 1
             losses.append(metrics["loss"])
@@ -427,8 +466,30 @@ class Trainer:
 
     # hist-vs-exact mAP agreement bound: a hist candidate within this margin
     # of the running max triggers an exact recompute before any best-epoch
-    # decision (tests/test_ops.py bounds the estimator gap well inside this)
+    # decision.  tests/test_ops.py bounds the estimator gap well inside
+    # this on realistic tie structures (all-equal codes, tiny K, trainer-
+    # scale random); on ADVERSARIAL data whose relevance correlates with
+    # gallery index the absolute gap can exceed any fixed margin
+    # (test_two_bucket_adversarial measures ~0.12), which is why
+    # _needs_exact below ALSO triggers on hist-vs-hist candidates: the
+    # estimator's bias is a property of the (labels, index-order)
+    # structure and is stable across epochs, so comparing hist to the
+    # running hist max recovers the right candidates even when the
+    # absolute bias is large.
     EXACT_MARGIN = 0.02
+
+    @staticmethod
+    def _needs_exact(hist_val: float, max_exact: float, max_hist: float,
+                     margin: float = EXACT_MARGIN) -> bool:
+        """Should this epoch's hist estimate be re-checked exactly?
+
+        Dual trigger: (a) within ``margin`` of the running EXACT max —
+        estimator noise must not flip a best-epoch decision; (b) within
+        ``margin`` of the running HIST max — robust to a large constant
+        estimator bias (index-correlated ties), where (a) alone would
+        never fire because every hist value sits far below the exact max.
+        """
+        return (hist_val > max_exact - margin) or (hist_val > max_hist - margin)
 
     def valid(self, epoch: int):
         self.logger.info("Valid.")
@@ -453,14 +514,19 @@ class Trainer:
         # exact ranking always replicates the gallery (its full-row sort
         # cannot run gallery-sharded), whatever cfg.shard_gallery says
         kw_exact = {**kw, "shard_gallery": False}
-        if i2t > self.max_mapi2t - self.EXACT_MARGIN:
+        if not hasattr(self, "_max_hist_i2t"):
+            self._max_hist_i2t = self._max_hist_t2i = 0.0
+        hist_i2t, hist_t2i = i2t, t2i
+        if self._needs_exact(i2t, self.max_mapi2t, self._max_hist_i2t):
             i2t = float(calc_map(q_img, r_txt, self.query_labels,
                                  self.retrieval_labels, method="exact",
                                  **kw_exact))
-        if t2i > self.max_mapt2i - self.EXACT_MARGIN:
+        if self._needs_exact(t2i, self.max_mapt2i, self._max_hist_t2i):
             t2i = float(calc_map(q_txt, r_img, self.query_labels,
                                  self.retrieval_labels, method="exact",
                                  **kw_exact))
+        self._max_hist_i2t = max(self._max_hist_i2t, hist_i2t)
+        self._max_hist_t2i = max(self._max_hist_t2i, hist_t2i)
 
         if self.max_mapi2t < i2t:
             self.best_epoch_i = epoch

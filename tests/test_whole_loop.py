@@ -205,6 +205,11 @@ def test_whole_loop_dsph(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
                                  monkeypatch)
     override_params(trainer, heads, extra=extra)
 
+    # pin the coverage claim: the reference default alpha=0.8 (>0) means
+    # this loop exercises the codetable-threshold pairwise REGULARIZER
+    # branch (train/DSPH/loss.py:42-62), not just the proxy terms
+    assert args.alpha > 0 and trainer.cfg.dsph.alpha == args.alpha
+
     t.train()          # the real reference loop: 3x (train_epoch+valid+save)
     trainer.train()    # the production ccmh loop (cli.py's Trainer.run path)
 
@@ -245,6 +250,99 @@ def test_whole_loop_dchmt(tiny_clip_pt, no_dropout, monkeypatch, tmp_path,
 
     trainer = build_ccmh_trainer("DCHMT", data_dir, tmp_path, clip_params,
                                  monkeypatch)
+    override_params(trainer, heads)
+
+    t.train()
+    trainer.train()
+
+    assert_loops_agree(t, trainer, "DCHMT")
+
+
+def test_whole_loop_dchmt_cosine(tiny_clip_pt, no_dropout, monkeypatch,
+                                 tmp_path, data_dir):
+    """DCHMT with ``--similarity-function cosine`` (train/DCHMT/
+    get_args.py:12; similarity_loss's cosine branch with the
+    clip(threshold)-threshold positive and 1-bounded negative,
+    hash_train.py:100-110) — the config branch the default euclidean loop
+    never executes.  Same select heads and eval as the default test."""
+    from ccmh.config import DCHMTConfig
+
+    args = make_loop_args("DCHMT", "DCHMT", tiny_clip_pt, data_dir,
+                          tmp_path / "ref_cos", numclass=NCLASS,
+                          display_step=10**9,
+                          similarity_function="cosine")
+    assert args.hash_layer == "select" and args.similarity_function == "cosine"
+    t, _ = build_ref_full("DCHMT", "DCHMTTrainer", args)
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+
+    def conv_select(mod):
+        pairs_w = np.stack(
+            [tnp(lin.weight).T for lin in mod.hash_list], axis=1)
+        pairs_b = np.stack([tnp(lin.bias) for lin in mod.hash_list])
+        return {"fc_w": jnp.asarray(tnp(mod.fc.weight).T),
+                "fc_b": jnp.asarray(tnp(mod.fc.bias)),
+                "pairs_w": jnp.asarray(pairs_w),
+                "pairs_b": jnp.asarray(pairs_b)}
+
+    heads = {"img_head": conv_select(t.model.image_hash),
+             "txt_head": conv_select(t.model.text_hash)}
+
+    trainer = build_ccmh_trainer(
+        "DCHMT", data_dir, tmp_path, clip_params, monkeypatch,
+        dchmt=DCHMTConfig(similarity_function="cosine"))
+    override_params(trainer, heads)
+
+    t.train()
+    trainer.train()
+
+    assert_loops_agree(t, trainer, "DCHMT")
+
+
+def test_whole_loop_dchmt_linear(tiny_clip_pt, no_dropout, monkeypatch,
+                                 tmp_path, data_dir):
+    """DCHMT ``--hash-layer linear`` (get_args.py:11 "linear: sign
+    function").  The reference path is UNCONSTRUCTIBLE upstream: MDCMHT
+    always builds select HashLayers (model/DCHMT.py:40-42), our_loss then
+    calls an undefined ``self.hash_loss`` (hash_train.py:130-131), and
+    make_hash_code_DCHMT's permute(1,0,2) crashes on 2-D codes
+    (train/base.py:150-157).  As with DDWSH, the loop runs with the three
+    evident-intent repairs injected into the REFERENCE, mirroring the
+    ccmh repairs (ccmh/losses/dchmt.py:66-71):
+      * heads = the codebase's own modelbase.LinearHash (tanh(fc));
+      * hash_loss = the DCHMT-paper quantization mean((|h|-1)^2);
+      * linear-mode code extraction = sign().
+    """
+    from ccmh.config import DCHMTConfig
+    import model.DCHMT as ref_model_mod
+    from model.modelbase import LinearHash as RefLinearHash
+
+    # repair 1: linear heads (same ctor kwargs as HashLayer)
+    monkeypatch.setattr(ref_model_mod, "HashLayer", RefLinearHash)
+
+    args = make_loop_args("DCHMT", "DCHMT", tiny_clip_pt, data_dir,
+                          tmp_path / "ref_lin", numclass=NCLASS,
+                          display_step=10**9, hash_layer="linear")
+    t, _ = build_ref_full("DCHMT", "DCHMTTrainer", args)
+    assert isinstance(t.model.image_hash, RefLinearHash)
+    t.model.image_hash.drop_out.p = 0.0
+    t.model.text_hash.drop_out.p = 0.0
+    # repair 2: the undefined quantization term
+    t.hash_loss = lambda h: torch.pow(torch.abs(h) - 1.0, 2).mean()
+    # repair 3: sign extraction for 2-D codes
+    t.make_hash_code_DCHMT = torch.sign
+
+    clip_params, ccfg = convert_state_dict(
+        {k: v.detach().clone() for k, v in t.model.clip.state_dict().items()})
+    assert ccfg == TINY
+    heads = {"img_head": conv_linear_hash(t.model.image_hash),
+             "txt_head": conv_linear_hash(t.model.text_hash)}
+
+    trainer = build_ccmh_trainer(
+        "DCHMT", data_dir, tmp_path, clip_params, monkeypatch,
+        dchmt=DCHMTConfig(hash_layer="linear"))
     override_params(trainer, heads)
 
     t.train()

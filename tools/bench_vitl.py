@@ -26,6 +26,14 @@ def log(*a):
 
 
 def main(B: int = 64) -> None:
+    try:
+        from ccmh.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".xla_cache"))
+    except Exception:  # noqa: BLE001
+        pass
     import jax
     import jax.numpy as jnp
 
