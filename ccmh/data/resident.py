@@ -102,7 +102,7 @@ class FusedBatchPut:
         return self._unpack_fn(spec)(jax.device_put(fused))
 
 
-def make_resident_step(train_step):
+def make_resident_step(train_step, mesh=None, axis: str = "data"):
     """Wrap ``train_step`` so one device dispatch does unpack + resident
     image gather + the step (plus ONE host put for the fused buffer):
 
@@ -113,11 +113,25 @@ def make_resident_step(train_step):
     ``4-5 RTTs + step`` into ``1 put + 1 dispatch`` per step (the
     difference between ~40% and step-bound epoch rates on the bench host).
     One program compiles per distinct batch spec (ragged tail = one more).
+
+    With ``mesh`` (a 1-D data mesh): ``images`` is row-sharded over
+    ``axis``, the unpacked fields and the gathered image batch are
+    sharding-constrained to the batch axis, and ``train_step`` is the RAW
+    (unwrapped) step — GSPMD inserts the gradient psum exactly as
+    ``data_parallel_train_step`` does, plus the per-step cross-chip
+    traffic of gathering one batch from the sharded table (verified: no
+    table-sized all-gather in the lowered HLO, only the [B]-index gather
+    collectives).
     """
     import jax
     import jax.numpy as jnp
 
     cache = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
 
     def stepper(state, buf, spec, epoch, images):
         fn = cache.get(spec)
@@ -126,11 +140,20 @@ def make_resident_step(train_step):
 
             def fused_step(state, buf, epoch, images):
                 b = unpack(buf)
-                b["image"] = jnp.take(images, b["index"], axis=0)
+                if mesh is not None:
+                    b = {k: jax.lax.with_sharding_constraint(v, data)
+                         for k, v in b.items()}
+                img = jnp.take(images, b["index"], axis=0)
+                if mesh is not None:
+                    img = jax.lax.with_sharding_constraint(img, data)
+                b["image"] = img
                 b["epoch"] = epoch
                 return train_step(state, b)
 
-            fn = jax.jit(fused_step, donate_argnums=(0,))
+            kw = {}
+            if mesh is not None:
+                kw["out_shardings"] = (repl, repl)
+            fn = jax.jit(fused_step, donate_argnums=(0,), **kw)
             cache[spec] = fn
         return fn(state, buf, epoch, images)
 
@@ -145,7 +168,11 @@ class ResidentImages:
     may be a host numpy array (a few hundred int32s) or already on device.
     """
 
-    def __init__(self, images_u8: np.ndarray, device=None):
+    def __init__(self, images_u8: np.ndarray, device=None, sharding=None):
+        """``sharding``: optional ``NamedSharding(mesh, P(axis))`` — the
+        table is zero-padded to a device-count-row multiple and pinned
+        row-sharded (per-chip residency = N/ndev rows); gathers never read
+        the padding (dataset indices are < N)."""
         import jax
         import jax.numpy as jnp
 
@@ -155,10 +182,17 @@ class ResidentImages:
                 f"{images_u8.dtype} {images_u8.shape}")
         self.n = len(images_u8)
         self.nbytes = int(images_u8.nbytes)
+        arr = np.ascontiguousarray(images_u8)
+        if sharding is not None:
+            ndev = sharding.mesh.devices.size
+            pad = (-len(arr)) % ndev
+            if pad:
+                arr = np.concatenate(
+                    [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+            device = sharding
         # one put for the whole split (memmap-backed caches stream from
         # disk here exactly once)
-        self.images = jax.device_put(
-            np.ascontiguousarray(images_u8), device)
+        self.images = jax.device_put(arr, device)
         self.images.block_until_ready()
         self._take = jax.jit(lambda data, idx: jnp.take(data, idx, axis=0))
 
@@ -169,6 +203,50 @@ class ResidentImages:
 
     # ------------------------------------------------------------- factory
     @classmethod
+    def plan(
+        cls,
+        cache,
+        *,
+        budget_mb: float,
+        mode: str = "auto",
+        ndev: int = 1,
+        unsupported_transport: bool = False,
+        logger=None,
+    ) -> bool:
+        """Decide (without pinning) whether ``cache`` should go resident.
+
+        mode "off" -> never; "on" -> required (raises if over the per-chip
+        budget or if the transport can't support it); "auto" -> pin when
+        the PER-CHIP share (``nbytes / ndev`` — a DP mesh row-shards the
+        table) fits ``budget_mb``.  ``unsupported_transport``: tensor-
+        parallel / FSDP runs, whose batch/state shardings the resident
+        stepper does not compose with — those stream + shard_batch.
+        """
+        if mode == "off" or cache is None:
+            return False
+        per_chip = int(cache.images.nbytes) / max(ndev, 1)
+        fits = per_chip <= budget_mb * 2**20
+        if mode == "on":
+            if unsupported_transport:
+                raise ValueError(
+                    "device_resident_images=on does not compose with "
+                    "tensor-parallel/FSDP sharding; those runs stream")
+            if not fits:
+                raise ValueError(
+                    f"device_resident_images=on but split needs "
+                    f"{per_chip / 2**20:.0f} MiB/chip > budget "
+                    f"{budget_mb:.0f} MiB")
+            return True
+        if unsupported_transport or not fits:
+            if logger is not None:
+                why = ("tp/fsdp transport" if unsupported_transport else
+                       f"{per_chip / 2**20:.0f} MiB/chip > "
+                       f"{budget_mb:.0f} MiB")
+                logger.info(f"device-resident images: streaming ({why})")
+            return False
+        return True
+
+    @classmethod
     def maybe(
         cls,
         cache,
@@ -177,39 +255,21 @@ class ResidentImages:
         mode: str = "auto",
         logger=None,
         mesh_transport: bool = False,
+        sharding=None,
     ) -> Optional["ResidentImages"]:
-        """Pin ``cache`` (a data/cache.py ImageCache) to device if allowed.
-
-        mode "off" -> never; "on" -> required (raises if over budget or if
-        batches must land sharded over a mesh); "auto" -> pin when the
-        payload fits ``budget_mb`` and transport is single-device, else
-        stream.  ``mesh_transport`` is the caller's statement that batches
-        go through shard_batch over a >1-device mesh.
-        """
-        if mode == "off" or cache is None:
+        """plan() + pin in one call.  ``mesh_transport`` keeps its round-4
+        meaning: an UNSUPPORTED (tp/fsdp) transport.  ``sharding``
+        row-shards the pinned table over a DP mesh."""
+        ndev = sharding.mesh.devices.size if sharding is not None else 1
+        if not cls.plan(cache, budget_mb=budget_mb, mode=mode, ndev=ndev,
+                        unsupported_transport=mesh_transport, logger=logger):
             return None
-        nbytes = int(cache.images.nbytes)
-        fits = nbytes <= budget_mb * 2**20
-        if mode == "on":
-            if mesh_transport:
-                raise ValueError(
-                    "device_resident_images=on requires single-device "
-                    "transport; mesh runs stream+shard instead")
-            if not fits:
-                raise ValueError(
-                    f"device_resident_images=on but split needs "
-                    f"{nbytes / 2**20:.0f} MiB > budget "
-                    f"{budget_mb:.0f} MiB")
-        elif mesh_transport or not fits:
-            if logger is not None:
-                why = ("mesh transport" if mesh_transport else
-                       f"{nbytes / 2**20:.0f} MiB > {budget_mb:.0f} MiB")
-                logger.info(f"device-resident images: streaming ({why})")
-            return None
-        resident = cls(cache.images)
+        resident = cls(cache.images, sharding=sharding)
         if logger is not None:
             logger.info(
                 f"device-resident images: pinned {resident.n} items "
-                f"({nbytes / 2**20:.0f} MiB) to device HBM — per-step host "
-                f"traffic is now ids+labels only")
+                f"({resident.nbytes / 2**20:.0f} MiB"
+                + (f", row-sharded over {ndev} devices" if ndev > 1 else "")
+                + ") to device HBM — per-step host traffic is now "
+                "ids/labels only")
         return resident

@@ -135,26 +135,34 @@ class Trainer:
         # the devices, so those runs keep the wrap-padded fixed shape.
         ragged = getattr(cfg, "ragged_last", True) and not (
             cfg.mesh_shape and cfg.mesh_shape[0] > 1)
-        # device-resident epochs (data/resident.py): single-device runs
-        # with a decoded cache pin the train split to HBM once; the loader
-        # then skips host image assembly and train_epoch gathers pixels
-        # on-device from each batch's indices.
+        # device-resident epochs (data/resident.py): runs with a decoded
+        # cache pin the train split to HBM once (row-sharded over a DP
+        # mesh); the loader then skips host image assembly and the fused
+        # resident step gathers pixels on-device from each batch's
+        # indices.  tp/fsdp runs keep streaming (their batch/state
+        # shardings don't compose with the resident stepper).  The
+        # decision happens here (the loader needs it); the pin itself
+        # waits for _init_model, where the mesh exists.
         tp = cfg.mesh_shape[1] if len(cfg.mesh_shape) > 1 else 1
-        mesh_transport = tp > 1 or (cfg.mesh_shape and cfg.mesh_shape[0] > 1)
+        dp = cfg.mesh_shape[0] if cfg.mesh_shape else 1
+        unsupported = tp > 1 or bool(getattr(cfg, "fsdp", False))
         self.train_resident = None
+        self._resident_source = None
         if caches["train"] is not None:
             from ccmh.data.resident import ResidentImages
 
-            self.train_resident = ResidentImages.maybe(
-                caches["train"],
-                budget_mb=getattr(cfg, "device_resident_budget_mb", 6144),
-                mode=getattr(cfg, "device_resident_images", "auto"),
-                logger=self.logger, mesh_transport=bool(mesh_transport))
+            if ResidentImages.plan(
+                    caches["train"],
+                    budget_mb=getattr(cfg, "device_resident_budget_mb", 6144),
+                    mode=getattr(cfg, "device_resident_images", "auto"),
+                    ndev=max(dp, 1), unsupported_transport=unsupported,
+                    logger=self.logger):
+                self._resident_source = caches["train"]
         self.train_loader = BatchIterator(
             self.train_data, cfg.batch_size,
             shuffle=getattr(cfg, "shuffle", True), seed=cfg.seed,
             num_workers=nw, image_cache=caches["train"], ragged_last=ragged,
-            with_images=self.train_resident is None)
+            with_images=self._resident_source is None)
         self.query_loader = BatchIterator(
             self.query_data, cfg.eval_batch, shuffle=False, seed=cfg.seed,
             num_workers=nw, image_cache=caches["query"])
@@ -254,12 +262,33 @@ class Trainer:
             else:
                 self.train_step = data_parallel_train_step(raw_step, self.mesh)
                 self.state = replicate(self.mesh, self.state)
+                self._raw_step = raw_step   # resident stepper wraps the raw
             self.logger.info(
                 f"data-parallel mesh over {cfg.mesh_shape[0]} devices"
                 + (" (FSDP weight/moment sharding)" if self.fsdp else ""))
         else:
             self.train_step = make_train_step(loss_fn, self.tx, self.extra_tx,
                                               cfg, clip_cfg, custom_step=custom)
+        # pin the decided-in-_init_data resident split now that the mesh
+        # exists: row-sharded over the DP axis, or whole on one device
+        if self._resident_source is not None:
+            from ccmh.data.resident import ResidentImages, make_resident_step
+
+            sharding = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sharding = NamedSharding(self.mesh, P("data"))
+            self.train_resident = ResidentImages(
+                self._resident_source.images, sharding=sharding)
+            self.logger.info(
+                f"device-resident images: pinned {self.train_resident.n} "
+                f"items ({self.train_resident.nbytes / 2**20:.0f} MiB"
+                + (f", row-sharded over {self.mesh.devices.size} devices"
+                   if self.mesh is not None else "") + ")")
+            self._resident_stepper = make_resident_step(
+                self._raw_step if self.mesh is not None else self.train_step,
+                mesh=self.mesh)
         self.encode_step = self.method.make_encode_fn(cfg, clip_cfg)
         self.eval_dist_fn = self.method.dist_fn(cfg) if self.method.dist_fn else None
         self.multi_encode_step = None
@@ -353,7 +382,27 @@ class Trainer:
         losses = []
         start = time.time()
         epoch_scalar = jnp.asarray(epoch, jnp.int32)
-        if self.mesh is not None:
+        if self.train_resident is not None:
+            # device-resident epochs (data/resident.py): pixels are already
+            # in HBM (row-sharded over a DP mesh), the put ships ONE fused
+            # uint8 buffer of the remaining host fields, and a single
+            # jitted program unpacks it, gathers the image batch on-device
+            # and runs the train step — one put + one dispatch per step
+            # instead of 4-5 RTTs
+            from ccmh.data.resident import FusedBatchPut
+
+            buf_sharding = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                buf_sharding = NamedSharding(self.mesh, P())
+
+            def put(b):
+                buf, spec = FusedBatchPut.pack(b)
+                dev = (jax.device_put(buf, buf_sharding)
+                       if buf_sharding is not None else jax.device_put(buf))
+                return (dev, spec)
+        elif self.mesh is not None:
             from ccmh.parallel.mesh import shard_batch
 
             def put(b):
@@ -361,20 +410,6 @@ class Trainer:
                 # scalars replicate (shard_batch shards leading axes only)
                 b["epoch"] = epoch_scalar
                 return b
-        elif self.train_resident is not None:
-            # device-resident epochs (data/resident.py): pixels are already
-            # in HBM, the put ships ONE fused uint8 buffer of the remaining
-            # host fields, and a single jitted program unpacks it, gathers
-            # the image batch on-device and runs the train step — one put
-            # + one dispatch per step instead of 4-5 RTTs
-            from ccmh.data.resident import FusedBatchPut, make_resident_step
-
-            if not hasattr(self, "_resident_stepper"):
-                self._resident_stepper = make_resident_step(self.train_step)
-
-            def put(b):
-                buf, spec = FusedBatchPut.pack(b)
-                return (jax.device_put(buf), spec)
         else:
             def put(b):
                 b = {k: jax.device_put(v) for k, v in b.items()}
@@ -386,7 +421,7 @@ class Trainer:
         # put + step serialized (data/prefetch.py)
         from ccmh.data.prefetch import device_prefetch
 
-        if self.train_resident is not None and self.mesh is None:
+        if self.train_resident is not None:
             def run_step(state, item):
                 buf, spec = item
                 return self._resident_stepper(

@@ -50,7 +50,7 @@ def test_maybe_gating(tmp_path):
                                 mesh_transport=True) is None
     with pytest.raises(ValueError, match="budget"):
         ResidentImages.maybe(cache, budget_mb=mb / 2, mode="on")
-    with pytest.raises(ValueError, match="mesh"):
+    with pytest.raises(ValueError, match="tensor-parallel"):
         ResidentImages.maybe(cache, budget_mb=mb * 2, mode="on",
                              mesh_transport=True)
 
@@ -133,3 +133,41 @@ def test_fused_batch_put_round_trip():
     out3 = fused(ragged)
     assert len(fused._unpack) == 2
     np.testing.assert_array_equal(np.asarray(out3["text"]), batch["text"][:3])
+
+
+def test_trainer_resident_dp_mesh_equals_streaming(tmp_path):
+    """DP mesh (8 virtual devices): resident row-sharded epochs are
+    bit-exact vs the stream+shard_batch path — same trained weights."""
+    from ccmh.data.synthetic import write_synthetic_mat_dataset
+    from ccmh.train.trainer import Trainer
+    from ccmh.clip.model import ClipConfig
+
+    data_dir = str(tmp_path / "data")
+    write_synthetic_mat_dataset(data_dir, n=32, n_class=4, resolution=32)
+
+    states = {}
+    for mode in ("off", "on"):
+        cfg = Config(method="DSPH", dataset="synthetic", output_dim=16,
+                     data_dir=data_dir, save_dir=str(tmp_path / f"o_{mode}"),
+                     epochs=2, batch_size=16, query_num=8, train_num=16,
+                     eval_batch=8, valid=False, cache_images=True,
+                     cache_dir=str(tmp_path / f"c_{mode}"),
+                     device_resident_images=mode, mesh_shape=(8,))
+        tr = Trainer(cfg, clip_cfg=ClipConfig.tiny())
+        assert (tr.train_resident is not None) == (mode == "on")
+        if mode == "on":
+            # the pinned table is row-sharded over the mesh, padded to a
+            # device-count multiple
+            assert tr.train_resident.images.shape[0] % 8 == 0
+            shard_rows = {
+                s.data.shape[0]
+                for s in tr.train_resident.images.addressable_shards}
+            assert shard_rows == {tr.train_resident.images.shape[0] // 8}
+        tr.train()
+        states[mode] = jax.device_get(tr.state.params)
+    flat_off = jax.tree_util.tree_leaves_with_path(states["off"])
+    flat_on = dict(jax.tree_util.tree_leaves_with_path(states["on"]))
+    assert flat_off and len(flat_off) == len(flat_on)
+    for path, leaf in flat_off:
+        np.testing.assert_array_equal(leaf, flat_on[path],
+                                      err_msg=jax.tree_util.keystr(path))
