@@ -81,6 +81,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/enc_prof")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--arch", choices=["vitb32", "vitl14"], default="vitb32",
+                    help="tower preset (vitl14: the TP-scale tower, B=64)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override batch size (default 256 / 64 for vitl14)")
     args = ap.parse_args()
 
     import os
@@ -92,7 +96,10 @@ def main():
     from ccmh.models.heads import init_linear_hash, linear_hash
 
     log(f"device: {jax.devices()[0].device_kind}")
-    cfg = ClipConfig()
+    cfg = ClipConfig() if args.arch == "vitb32" else ClipConfig.vit_l14()
+    global B
+    B = args.batch or (B if args.arch == "vitb32" else 64)
+    log(f"arch {args.arch}, B={B}")
     key = jax.random.PRNGKey(0)
     params = {
         "clip": init_clip_params(key, cfg),
