@@ -82,6 +82,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cache-dir", type=str, default=defaults.cache_dir,
                         help="decoded-tensor cache location "
                              "(default <data_dir>/_ccmh_cache)")
+    parser.add_argument("--device-resident", dest="device_resident_images",
+                        choices=["auto", "on", "off"],
+                        default=defaults.device_resident_images,
+                        help="with --cache-images: pin the decoded train "
+                             "split to device HBM once (row-sharded over a "
+                             "DP mesh) and gather batches on-device — "
+                             "per-step host traffic drops to one fused "
+                             "ids/labels buffer.  auto pins when the split "
+                             "fits --set device_resident_budget_mb "
+                             f"(default {defaults.device_resident_budget_mb}); "
+                             "tp/fsdp runs always stream")
     parser.add_argument("--no-ragged-last", dest="ragged_last",
                         action="store_false", default=defaults.ragged_last,
                         help="wrap-pad the final train batch to the fixed "
@@ -169,6 +180,7 @@ def config_from_args(argv=None) -> Config:
         save_csv=args.save_csv, valid=args.valid, vit_use=args.vit_use,
         num_workers=args.num_workers,
         cache_images=args.cache_images, cache_dir=args.cache_dir,
+        device_resident_images=args.device_resident_images,
         ragged_last=args.ragged_last,
         compute_dtype=args.compute_dtype, remat=args.remat,
         checkpoint_every=args.checkpoint_every,
