@@ -460,7 +460,8 @@ def main():
             f"cached epoch end-to-end {epoch_rate:,.0f} samples/s with "
             f"double-buffered puts vs {rates[1]:,.0f} serialized "
             f"({100 * epoch_rate / pure:.0f}% of the {pure:,.0f}/s pure step; "
-            f"this host's relay puts at ~11-14 MiB/s bound both)")
+            f"this host's relay put {put_rate:,.0f} MiB/s this run bounds "
+            f"both)")
 
         # device-resident epochs (data/resident.py): one split-sized put,
         # then per-step host traffic is ids/labels only and the image batch
@@ -468,7 +469,7 @@ def main():
         # the cached split fits HBM (VERDICT r3 item 3: the per-step put,
         # not decode, bounds this host)
         from ccmh.data.resident import (
-            FusedBatchPut, ResidentImages, make_resident_step,
+            ResidentImages, make_resident_epoch_step, pack_epoch,
         )
 
         t0 = time.time()
@@ -477,30 +478,47 @@ def main():
         it_meta = BatchIterator(ds, B, shuffle=True, num_workers=8,
                                 image_cache=cache, drop_last=True,
                                 with_images=False)
-        # one put + ONE dispatch per step: unpack + on-device gather + the
-        # train step fused into a single jitted program (the Trainer's
-        # production resident path)
-        stepper = make_resident_step(dsph_step)
+        # the Trainer's production resident path: the whole epoch's fused
+        # host fields pin in ONE put, then every step is a single dispatch
+        # slicing its row with a device-carried counter — ZERO per-step
+        # host transfers, so the rate is immune to the relay's highly
+        # variable put RTT (50 ms - >1 s observed across runs)
+        stepper = make_resident_epoch_step(dsph_step)
 
-        def put_resident(b):
-            buf, spec = FusedBatchPut.pack(
-                {k: v for k, v in b.items() if k != "valid"})
-            return (_jax.device_put(buf), spec)
+        # warm-up OUTSIDE the timing: the first call compiles the fused
+        # unpack+gather+step program (minutes through the remote-compile
+        # relay when the persistent cache misses)
+        it_meta.set_epoch(99)
+        warm_groups = pack_epoch(
+            [{k: v for k, v in b.items() if k != "valid"} for b in it_meta])
+        for table_np, spec, n_rows in warm_groups:
+            state, m, _ = stepper(
+                state, _jax.device_put(table_np), spec,
+                jnp.zeros((), jnp.int32), epoch_zero, resident.images)
+        float(m["loss"])
 
         n_seen, t0 = 0, time.time()
         for ep in range(2):
             it_meta.set_epoch(100 + ep)
-            for buf, spec in device_prefetch(it_meta, put_resident, depth=2):
-                state, m = stepper(state, buf, spec, epoch_zero,
-                                   resident.images)
-                n_seen += B
+            for table_np, spec, n_rows in pack_epoch(
+                    [{k: v for k, v in b.items() if k != "valid"}
+                     for b in it_meta]):
+                table = _jax.device_put(table_np)
+                counter = jnp.zeros((), jnp.int32)
+                for _ in range(n_rows):
+                    state, m, counter = stepper(
+                        state, table, spec, counter, epoch_zero,
+                        resident.images)
+                    n_seen += B
         float(m["loss"])
         res_rate = n_seen / (time.time() - t0)
         log(f"input pipeline [device-resident epochs]: pin "
-            f"{resident.nbytes / 2**20:.0f} MiB once in {t_pin:.1f}s, then "
-            f"{res_rate:,.0f} samples/s end-to-end "
-            f"({100 * res_rate / pure:.0f}% of the {pure:,.0f}/s pure step "
-            f"vs {100 * epoch_rate / pure:.0f}% streaming) target >=80%")
+            f"{resident.nbytes / 2**20:.0f} MiB once in {t_pin:.1f}s + one "
+            f"{table_np.nbytes / 1024:.0f} KiB epoch table put, then "
+            f"{res_rate:,.0f} samples/s end-to-end with zero per-step host "
+            f"transfers ({100 * res_rate / pure:.0f}% of the {pure:,.0f}/s "
+            f"pure step vs {100 * epoch_rate / pure:.0f}% streaming) "
+            f"target >=80%")
         del resident
         shutil.rmtree(tmp, ignore_errors=True)
     except _Skip:

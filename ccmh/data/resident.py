@@ -160,6 +160,98 @@ def make_resident_step(train_step, mesh=None, axis: str = "data"):
     return stepper
 
 
+def make_resident_epoch_step(train_step, mesh=None, axis: str = "data"):
+    """Zero-puts-per-step resident stepping.
+
+    ``make_resident_step`` still ships one small fused buffer per step —
+    on a relay-attached host whose put latency swings from ~50 ms to >1 s
+    that single put can dominate the 74 ms step.  This variant removes
+    per-step host traffic entirely: the caller packs EVERY batch of the
+    epoch into one [n_batches, L] uint8 table, puts it ONCE (~0.5 MB for
+    a reference-scale epoch), and each step passes a device-side scalar
+    row index (sliced from an ``iota`` table — a dispatch, never a put):
+
+        table_dev = put(stack of fused buffers)        # 1 put / epoch
+        idx_tab   = jnp.arange(n_batches)              # device iota
+        stepper = make_resident_epoch_step(step)
+        state, metrics = stepper(state, table_dev, spec, idx_tab[i],
+                                 epoch, images)        # 0 puts / step
+
+    The row index is a DEVICE scalar carried through the call — the
+    program dynamic-slices row ``counter``, unpacks it, gathers the image
+    batch from the resident table, runs the step and returns
+    ``counter + 1`` — so the host never manufactures a per-step index
+    either (a ``jnp.asarray(i)`` would itself be a put).  Ragged tail
+    batches (a different spec) use their own 1-row table.  Same mesh
+    semantics as make_resident_step.  Usage:
+
+        counter = jnp.zeros((), jnp.int32)     # once per table
+        for _ in range(n_rows):
+            state, metrics, counter = stepper(
+                state, table_dev, spec, counter, epoch, images)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cache = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+
+    def stepper(state, table, spec, counter, epoch, images):
+        key = (spec, table.shape)
+        fn = cache.get(key)
+        if fn is None:
+            unpack = FusedBatchPut.build_unpack(spec)
+
+            def fused_step(state, table, counter, epoch, images):
+                buf = jax.lax.dynamic_slice(
+                    table, (counter, 0), (1, table.shape[1]))[0]
+                b = unpack(buf)
+                if mesh is not None:
+                    b = {k: jax.lax.with_sharding_constraint(v, data)
+                         for k, v in b.items()}
+                img = jnp.take(images, b["index"], axis=0)
+                if mesh is not None:
+                    img = jax.lax.with_sharding_constraint(img, data)
+                b["image"] = img
+                b["epoch"] = epoch
+                new_state, metrics = train_step(state, b)
+                return new_state, metrics, counter + 1
+
+            kw = {}
+            if mesh is not None:
+                kw["out_shardings"] = (repl, repl, repl)
+            fn = jax.jit(fused_step, donate_argnums=(0,), **kw)
+            cache[key] = fn
+        return fn(state, table, counter, epoch, images)
+
+    return stepper
+
+
+def pack_epoch(batches):
+    """[(table [n, L] uint8, spec, rows)] groups for a list of host batches.
+
+    Consecutive batches sharing a spec stack into one table (the common
+    case: every full batch); a ragged tail forms its own group.  Returns
+    groups in epoch order as (table, spec, n_rows) tuples.
+    """
+    groups = []
+    cur_spec, cur_bufs = None, []
+    for b in batches:
+        buf, spec = FusedBatchPut.pack(b)
+        if spec != cur_spec and cur_bufs:
+            groups.append((np.stack(cur_bufs), cur_spec, len(cur_bufs)))
+            cur_bufs = []
+        cur_spec = spec
+        cur_bufs.append(buf)
+    if cur_bufs:
+        groups.append((np.stack(cur_bufs), cur_spec, len(cur_bufs)))
+    return groups
+
+
 class ResidentImages:
     """The decoded uint8 images of one split, resident in device memory.
 

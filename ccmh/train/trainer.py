@@ -272,7 +272,7 @@ class Trainer:
         # pin the decided-in-_init_data resident split now that the mesh
         # exists: row-sharded over the DP axis, or whole on one device
         if self._resident_source is not None:
-            from ccmh.data.resident import ResidentImages, make_resident_step
+            from ccmh.data.resident import ResidentImages
 
             sharding = None
             if self.mesh is not None:
@@ -286,9 +286,6 @@ class Trainer:
                 f"items ({self.train_resident.nbytes / 2**20:.0f} MiB"
                 + (f", row-sharded over {self.mesh.devices.size} devices"
                    if self.mesh is not None else "") + ")")
-            self._resident_stepper = make_resident_step(
-                self._raw_step if self.mesh is not None else self.train_step,
-                mesh=self.mesh)
         self.encode_step = self.method.make_encode_fn(cfg, clip_cfg)
         self.eval_dist_fn = self.method.dist_fn(cfg) if self.method.dist_fn else None
         self.multi_encode_step = None
@@ -383,25 +380,7 @@ class Trainer:
         start = time.time()
         epoch_scalar = jnp.asarray(epoch, jnp.int32)
         if self.train_resident is not None:
-            # device-resident epochs (data/resident.py): pixels are already
-            # in HBM (row-sharded over a DP mesh), the put ships ONE fused
-            # uint8 buffer of the remaining host fields, and a single
-            # jitted program unpacks it, gathers the image batch on-device
-            # and runs the train step — one put + one dispatch per step
-            # instead of 4-5 RTTs
-            from ccmh.data.resident import FusedBatchPut
-
-            buf_sharding = None
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                buf_sharding = NamedSharding(self.mesh, P())
-
-            def put(b):
-                buf, spec = FusedBatchPut.pack(b)
-                dev = (jax.device_put(buf, buf_sharding)
-                       if buf_sharding is not None else jax.device_put(buf))
-                return (dev, spec)
+            pass   # resident epochs need no per-batch put at all (below)
         elif self.mesh is not None:
             from ccmh.parallel.mesh import shard_batch
 
@@ -422,16 +401,54 @@ class Trainer:
         from ccmh.data.prefetch import device_prefetch
 
         if self.train_resident is not None:
+            # device-resident epochs (data/resident.py): pixels are already
+            # in HBM (row-sharded over a DP mesh); the whole epoch's fused
+            # host fields pin in ONE put and each step is a single dispatch
+            # that slices its row with a device-carried counter — ZERO
+            # host->device transfers per step, so epoch rate is immune to
+            # put latency (the relay host's swings 50 ms - >1 s)
+            from ccmh.data.resident import make_resident_epoch_step, pack_epoch
+
+            if not hasattr(self, "_resident_epoch_stepper"):
+                self._resident_epoch_stepper = make_resident_epoch_step(
+                    self._raw_step if self.mesh is not None
+                    else self.train_step, mesh=self.mesh)
+            repl = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                repl = NamedSharding(self.mesh, P())
+
+            def resident_stream():
+                # host-assemble the (image-free) epoch: meta + tokenize at
+                # host-stream rates far above the step rate
+                for table_np, spec, n_rows in pack_epoch(
+                        list(self.train_loader)):
+                    table = (jax.device_put(table_np, repl)
+                             if repl is not None
+                             else jax.device_put(table_np))
+                    counter = jnp.zeros((), jnp.int32)
+                    if repl is not None:
+                        counter = jax.device_put(counter, repl)
+                    holder = [counter]
+                    for _ in range(n_rows):
+                        yield (table, spec, holder)
+
+            stream = resident_stream()
+
             def run_step(state, item):
-                buf, spec = item
-                return self._resident_stepper(
-                    state, buf, spec, epoch_scalar,
+                table, spec, holder = item
+                state, metrics, holder[0] = self._resident_epoch_stepper(
+                    state, table, spec, holder[0], epoch_scalar,
                     self.train_resident.images)
+                return state, metrics
         else:
+            stream = device_prefetch(
+                self.train_loader, put,
+                depth=getattr(cfg, "prefetch_device", 2))
             run_step = self.train_step
 
-        for batch in device_prefetch(self.train_loader, put,
-                                     depth=getattr(cfg, "prefetch_device", 2)):
+        for batch in stream:
             self.state, metrics = run_step(self.state, batch)
             self.global_step += 1
             step_in_epoch += 1
