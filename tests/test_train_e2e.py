@@ -520,3 +520,40 @@ def test_compilation_cache_flag(tmp_path):
         assert cache.is_dir() and len(list(cache.iterdir())) > 0
     finally:
         _jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_preemption_mid_epoch_resume_bit_exact_resident(tmp_path):
+    """The preemption/resume contract holds under device-resident epochs:
+    the zero-put epoch-table flow (data/resident.py) must fast-forward via
+    the loader's set_start_step exactly like streaming — pack_epoch sees
+    only the remaining batches and the device counter restarts at row 0 of
+    the truncated table.  Final params/moments bit-match an uninterrupted
+    RESIDENT run."""
+    kw = dict(epochs=2, valid=False, cache_images=True,
+              device_resident_images="on", display_step=1)
+    t_ref = make_trainer("DSPH", tmp_path / "ref", **kw)
+    assert t_ref.train_resident is not None
+    t_ref.train()
+
+    t_a = make_trainer("DSPH", tmp_path / "ab", **kw)
+    orig_write = t_a.metrics.write
+
+    def spy(tag, step, **m):
+        orig_write(tag, step, **m)
+        if tag == "train" and t_a.global_step == 3:
+            t_a.request_preempt()   # lands at epoch 1 step 1 of 2
+
+    t_a.metrics.write = spy
+    t_a.train()
+    assert t_a.global_step == 3
+
+    t_b = make_trainer("DSPH", tmp_path / "ab", resume=True, **kw)
+    assert t_b.train_resident is not None
+    t_b.train()
+    assert int(t_b.state.step) == int(t_ref.state.step)
+    for x, y in zip(jax.tree.leaves(t_ref.state.params),
+                    jax.tree.leaves(t_b.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(t_ref.state.opt_state),
+                    jax.tree.leaves(t_b.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
