@@ -33,6 +33,17 @@ class _Skip(Exception):
     skip line is printed by _Deadline.allow)."""
 
 
+# set the moment the headline JSON lands on stdout; the watchdog consults it
+# so a run that wedges BEFORE the headline yields an explicit error line and
+# rc!=0, never a silent rc=0 the driver would record as success (ADVICE r4)
+_HEADLINE_EMITTED = False
+
+
+def _mark_headline():
+    global _HEADLINE_EMITTED
+    _HEADLINE_EMITTED = True
+
+
 class _Deadline:
     """Aggregate wall-clock budget (round-3 postmortem: the driver kills
     the bench at its own timeout and records rc=124 — a truncated artifact
@@ -40,9 +51,10 @@ class _Deadline:
     exit 0 before that).  Budget via CCMH_BENCH_BUDGET_S (default 1200 s);
     every secondary section declares a cost estimate and is skipped — with
     an explicit line, never silently — once the budget can't cover it.  A
-    watchdog thread force-exits 0 at budget + 180 s in case a section
-    wedges on the relay (the headline JSON is printed early, so a watchdog
-    exit still yields a parseable artifact)."""
+    watchdog thread fires at budget + 180 s in case a section wedges on the
+    relay: exit 0 if the headline JSON already reached stdout (parseable
+    artifact), else an explicit error JSON line + exit 1 — a run that
+    wedged before producing its metric must never read as success."""
 
     def __init__(self, budget_s: float):
         self.t0 = time.time()
@@ -62,11 +74,27 @@ class _Deadline:
         import threading
 
         def _fire():
+            if _HEADLINE_EMITTED:
+                log(f"bench watchdog: {self.budget:.0f}s budget + "
+                    f"{grace_s:.0f}s grace exceeded — forcing exit 0 "
+                    f"(headline already on stdout)")
+                sys.stderr.flush()
+                sys.stdout.flush()
+                os._exit(0)
+            # wedged BEFORE the headline: a parseable error line + rc!=0 so
+            # the driver records a broken run as broken, not as success
             log(f"bench watchdog: {self.budget:.0f}s budget + "
-                f"{grace_s:.0f}s grace exceeded — forcing exit 0")
+                f"{grace_s:.0f}s grace exceeded with NO headline — "
+                f"emitting error line and exiting 1")
+            print(json.dumps({
+                "metric": "image+text encodes/sec/chip (ViT-B/32 bf16, K=64)",
+                "value": 0, "unit": "pairs/s", "vs_baseline": 0.0,
+                "error": "bench wedged before the headline metric "
+                         "(watchdog fired)",
+            }), flush=True)
             sys.stderr.flush()
             sys.stdout.flush()
-            os._exit(0)
+            os._exit(1)
 
         t = threading.Timer(self.budget + grace_s - (time.time() - self.t0),
                             _fire)
@@ -301,6 +329,7 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(encodes_per_sec / 10_000.0, 3),
     }), flush=True)
+    _mark_headline()
 
     # secondary: serving-layer concurrent-request throughput — 48 clients
     # each sending ONE text query; dynamic micro-batching (ccmh/serve.py

@@ -187,6 +187,9 @@ class ImageCache:
             from ccmh.data import native
 
             use_native = native.available()
+            import time as _time
+
+            last_touch = _time.time()
             with ThreadPoolExecutor(max_workers=num_workers) as pool:
                 for start in range(0, n, chunk):
                     idx = range(start, min(start + chunk, n))
@@ -200,6 +203,13 @@ class ImageCache:
                         out[i] = img
                     if logger is not None and start % (chunk * 16) == 0:
                         logger.info(f"image cache {path}: {start}/{n}")
+                    # mmap-dirtied pages only refresh mtime on writeback, so
+                    # a long (multi-hour NFS) build could look stale to a
+                    # concurrent winner's tmp GC below; an explicit periodic
+                    # touch keeps the liveness heuristic actually maintained
+                    if _time.time() - last_touch > 600:
+                        os.utime(tmp)
+                        last_touch = _time.time()
             out.flush()
             del out
             # the payload lands under its fingerprint-derived name; the old

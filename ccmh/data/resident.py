@@ -17,12 +17,17 @@ bit-identical to the streaming path, and caption draws / shuffle order are
 untouched (they remain pure functions of (seed, epoch, item)), so training
 is bit-exact vs the streaming pipeline — only the transport changes.
 
-Single-device scope: under a >1-device mesh the batch must land sharded
-over the data axis, which would turn the resident gather into a
-cross-device collective; those runs keep the streaming + shard_batch path
-(Trainer gates on mesh size).  Multi-host DP, where each process feeds its
-own chips from its own host cache, composes with this naturally — each
-process pins its local shard.
+Mesh scope: under a data-parallel mesh the pixel table pins ROW-SHARDED
+over the data axis (``ResidentImages(..., sharding=NamedSharding(mesh,
+P("data")))`` — per-chip residency is N/ndev rows) and
+``make_resident_epoch_step(mesh=...)`` constrains the unpacked fields and
+the gathered batch to the batch axis; GSPMD lowers the gather to [B]-index
+collectives, never a table-sized all-gather (asserted in
+tests/test_parallel.py).  Tensor-parallel / FSDP runs keep the streaming +
+shard_batch path — their batch/state shardings don't compose with the
+resident stepper.  Multi-host DP, where each process feeds its own chips
+from its own host cache, composes naturally — each process pins its local
+shard.
 """
 
 from __future__ import annotations

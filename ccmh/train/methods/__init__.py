@@ -36,7 +36,7 @@ EXPECTED_METHODS: Dict[str, str] = {
     "dghdgh": "DGHDGH",
 }
 
-_IMPORT_ERRORS: Dict[str, BaseException] = {}
+_IMPORT_ERRORS: Dict[str, Exception] = {}
 _LOADED = False
 
 
@@ -46,20 +46,35 @@ def register(method: Method) -> Method:
 
 
 def get_method(name: str) -> Method:
+    """The named method, if its module imported cleanly.
+
+    A broken OPTIONAL dependency in one method module must not brick
+    training of every unrelated method, so this succeeds whenever ``name``
+    itself registered; the completeness guarantee (all 14 or a loud error)
+    lives in :func:`available_methods`, which every sweep consults.
+    """
     _ensure_loaded()
-    if name not in _REGISTRY:
-        raise KeyError(f"unknown method {name!r}; available: {sorted(_REGISTRY)}")
-    return _REGISTRY[name]
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    # name absent: either ITS module broke (surface that error) or the
+    # name is simply unknown
+    _raise_if_incomplete()
+    raise KeyError(f"unknown method {name!r}; available: {sorted(_REGISTRY)}")
 
 
 def available_methods() -> List[str]:
+    """All 14 reference methods — raises loudly if ANY failed to register
+    (the DP/TP sweeps and the driver dryrun iterate this; a silently
+    reduced set would shrink the coverage claim)."""
     _ensure_loaded()
+    _raise_if_incomplete()
     return sorted(_REGISTRY)
 
 
 def _ensure_loaded() -> None:
-    # Import method modules lazily so `import ccmh` stays light; a broken
-    # import is a hard error, not a silently smaller registry.
+    # Import method modules lazily so `import ccmh` stays light; failures
+    # are collected (not raised) so get_method can serve the methods that
+    # DID import — available_methods() re-raises the collection.
     global _LOADED
     if _LOADED:
         return
@@ -68,8 +83,16 @@ def _ensure_loaded() -> None:
     for mod in EXPECTED_METHODS:
         try:
             importlib.import_module(f"ccmh.train.methods.{mod}")
-        except BaseException as e:  # noqa: BLE001 - collected then raised
+        except (KeyboardInterrupt, SystemExit):
+            # a Ctrl-C / exit landing mid-import is a user action, not a
+            # broken module — never swallow it into the error collection
+            raise
+        except Exception as e:  # noqa: BLE001 - collected, raised on demand
             _IMPORT_ERRORS[mod] = e
+    _LOADED = True
+
+
+def _raise_if_incomplete() -> None:
     missing = {m: n for m, n in EXPECTED_METHODS.items() if n not in _REGISTRY}
     if _IMPORT_ERRORS or missing:
         lines = [
@@ -84,4 +107,3 @@ def _ensure_loaded() -> None:
             "method registry incomplete — refusing to run with a silently "
             "reduced method set:\n" + "\n".join(lines)
         )
-    _LOADED = True

@@ -421,9 +421,21 @@ class Trainer:
 
             def resident_stream():
                 # host-assemble the (image-free) epoch: meta + tokenize at
-                # host-stream rates far above the step rate
+                # host-stream rates far above the step rate.  Every table is
+                # zero-padded to the FULL epoch's row count: the compiled
+                # program is keyed by (spec, table.shape), so a mid-epoch
+                # resume (whose truncated loader would otherwise produce a
+                # novel shape and a multi-minute cold recompile through the
+                # relay) reuses the warm executable — rows past n_rows are
+                # never sliced (the counter stops there).
+                n_target = len(self.train_loader)
                 for table_np, spec, n_rows in pack_epoch(
                         list(self.train_loader)):
+                    pad = n_target - table_np.shape[0]
+                    if pad > 0:
+                        table_np = np.concatenate([
+                            table_np,
+                            np.zeros((pad, table_np.shape[1]), np.uint8)])
                     table = (jax.device_put(table_np, repl)
                              if repl is not None
                              else jax.device_put(table_np))
@@ -532,7 +544,8 @@ class Trainer:
 
     @staticmethod
     def _needs_exact(hist_val: float, max_exact: float, max_hist: float,
-                     margin: float = EXACT_MARGIN) -> bool:
+                     margin: float = EXACT_MARGIN,
+                     hist_bias: Optional[float] = None) -> bool:
         """Should this epoch's hist estimate be re-checked exactly?
 
         Dual trigger: (a) within ``margin`` of the running EXACT max —
@@ -540,8 +553,21 @@ class Trainer:
         ``margin`` of the running HIST max — robust to a large constant
         estimator bias (index-correlated ties), where (a) alone would
         never fire because every hist value sits far below the exact max.
+
+        ``hist_bias`` is the largest |exact - hist| divergence OBSERVED so
+        far on this run's data: trigger (b) only engages once it exceeds
+        the margin (the bias is a dataset property, stable across epochs,
+        and is measured for free every time trigger (a) fires — which it
+        always does on the first epochs while the exact max is still
+        small).  Without the gate a plateaued run re-ran the exact sort
+        almost every epoch, eroding the <1 s hist fast-path (ADVICE r4).
+        ``None`` (bias unobserved/legacy callers) keeps (b) always-on.
         """
-        return (hist_val > max_exact - margin) or (hist_val > max_hist - margin)
+        if hist_val > max_exact - margin:
+            return True
+        if hist_bias is not None and hist_bias <= margin:
+            return False  # estimator verified accurate here; (a) suffices
+        return hist_val > max_hist - margin
 
     def valid(self, epoch: int):
         self.logger.info("Valid.")
@@ -568,15 +594,20 @@ class Trainer:
         kw_exact = {**kw, "shard_gallery": False}
         if not hasattr(self, "_max_hist_i2t"):
             self._max_hist_i2t = self._max_hist_t2i = 0.0
+            self._hist_bias = 0.0   # max observed |exact - hist| divergence
         hist_i2t, hist_t2i = i2t, t2i
-        if self._needs_exact(i2t, self.max_mapi2t, self._max_hist_i2t):
+        if self._needs_exact(i2t, self.max_mapi2t, self._max_hist_i2t,
+                             hist_bias=self._hist_bias):
             i2t = float(calc_map(q_img, r_txt, self.query_labels,
                                  self.retrieval_labels, method="exact",
                                  **kw_exact))
-        if self._needs_exact(t2i, self.max_mapt2i, self._max_hist_t2i):
+            self._hist_bias = max(self._hist_bias, abs(i2t - hist_i2t))
+        if self._needs_exact(t2i, self.max_mapt2i, self._max_hist_t2i,
+                             hist_bias=self._hist_bias):
             t2i = float(calc_map(q_txt, r_img, self.query_labels,
                                  self.retrieval_labels, method="exact",
                                  **kw_exact))
+            self._hist_bias = max(self._hist_bias, abs(t2i - hist_t2i))
         self._max_hist_i2t = max(self._max_hist_i2t, hist_i2t)
         self._max_hist_t2i = max(self._max_hist_t2i, hist_t2i)
 

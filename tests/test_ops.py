@@ -442,6 +442,23 @@ class TestHistEstimatorBound:
         # a clearly-worse epoch under BOTH views stays on the fast path
         assert not ne(0.60, max_exact=0.80, max_hist=0.70)
 
+    def test_needs_exact_bias_gate(self):
+        """ADVICE r4: once exact recomputes have OBSERVED the estimator to
+        be accurate on this data (bias <= margin), trigger (b) disengages —
+        a plateaued run no longer pays the exact sort every epoch.  A
+        large observed bias keeps (b) armed; trigger (a) is never gated."""
+        from ccmh.train.trainer import Trainer
+
+        ne = Trainer._needs_exact
+        # plateaued epoch near the hist max, estimator verified accurate
+        assert not ne(0.68, max_exact=0.80, max_hist=0.685, hist_bias=0.003)
+        # same situation but a ~0.12 divergence was observed: (b) stays on
+        assert ne(0.68, max_exact=0.80, max_hist=0.685, hist_bias=0.12)
+        # bias unknown (None): legacy always-on behavior
+        assert ne(0.68, max_exact=0.80, max_hist=0.685, hist_bias=None)
+        # trigger (a) fires regardless of how small the observed bias is
+        assert ne(0.795, max_exact=0.80, max_hist=0.0, hist_bias=0.0)
+
     def test_trainer_scale_random(self):
         # the shape class valid() actually sees (small multi-label eval)
         rng = np.random.RandomState(3)

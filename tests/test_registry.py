@@ -39,6 +39,23 @@ def test_broken_import_fails_loudly(monkeypatch):
         reg.available_methods()
 
 
+def test_get_method_survives_unrelated_broken_module(monkeypatch):
+    """One broken method module must not brick unrelated methods: training
+    DSPH still works; the completeness surfaces (available_methods, or
+    asking for the broken name itself) raise loudly (ADVICE r4)."""
+    monkeypatch.setattr(reg, "_LOADED", False)
+    monkeypatch.setattr(reg, "_IMPORT_ERRORS", {})
+    monkeypatch.setattr(
+        reg, "EXPECTED_METHODS",
+        {**reg.EXPECTED_METHODS, "no_such_module": "Ghost"},
+    )
+    assert reg.get_method("DSPH").name == "DSPH"
+    with pytest.raises(ImportError, match="no_such_module"):
+        reg.available_methods()
+    with pytest.raises(ImportError, match="no_such_module"):
+        reg.get_method("Ghost")
+
+
 def test_registered_but_missing_name_fails_loudly(monkeypatch):
     """A module that imports fine but never registers its name must raise."""
     monkeypatch.setattr(reg, "_LOADED", False)
