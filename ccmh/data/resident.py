@@ -236,6 +236,128 @@ def make_resident_epoch_step(train_step, mesh=None, axis: str = "data"):
     return stepper
 
 
+class ResidentEvalSplit:
+    """An EVAL split pinned whole to device memory + a one-dispatch encoder.
+
+    ``Trainer.get_code`` (the ``valid()``/``test()`` encode loop, reference
+    train/base.py:130-148) streams every query/retrieval pixel batch
+    host->device each validation epoch — at reference scale ~2.6 GiB
+    (flickr) to ~17 GiB (COCO) per epoch over a link measured at
+    11-27 MiB/s on the bench host: the same put-bound disease device-
+    resident epochs cured for training (VERDICT r4 #1).
+
+    Eval batches are EPOCH-INVARIANT: the eval loaders never advance the
+    dataset epoch, so caption draws — and therefore the token ids — are
+    fixed, the iteration order is sequential, and the pixels come from the
+    decoded-tensor cache.  So the ENTIRE split input (pixels uint8 +
+    tokens int32) can pin once; every later validation encodes it with a
+    single jitted ``lax.scan`` program (``make_resident_eval_encoder``)
+    whose per-batch body gathers rows on-device: ZERO host->device
+    transfers per validation epoch, and codes stay on device to feed the
+    on-device mAP (ops/map_metric.py) directly.
+
+    Under a DP mesh both tables pin row-sharded over ``sharding`` (tables
+    are padded to a device-count row multiple; gathers never read padding).
+    """
+
+    def __init__(self, cache, dataset, batch_size: int, *, sharding=None):
+        import jax
+
+        n = len(dataset)
+        if len(cache.images) != n:
+            raise ValueError(
+                f"cache holds {len(cache.images)} items but split has {n}")
+        self.n = n
+        self.batch = int(batch_size)
+        self.n_batches = -(-n // self.batch)
+        n_pad = self.n_batches * self.batch
+        # tokenize the whole split once (the streaming path pays this every
+        # valid epoch; draws are epoch-invariant so once is enough forever)
+        meta = dataset.meta_items(np.arange(n))
+        tokens = np.ascontiguousarray(meta["text"], np.int32)
+        images = np.ascontiguousarray(cache.images)
+        if sharding is not None:
+            ndev = sharding.mesh.devices.size
+            n_pad += (-n_pad) % ndev   # rows beyond n_batches*B never gather
+        if n_pad > n:
+            images = np.concatenate([
+                images, np.zeros((n_pad - n,) + images.shape[1:], np.uint8)])
+            tokens = np.concatenate([
+                tokens, np.zeros((n_pad - n, tokens.shape[1]), np.int32)])
+        self.nbytes = int(images.nbytes + tokens.nbytes)
+        self.images = jax.device_put(images, sharding)
+        self.tokens = jax.device_put(tokens, sharding)
+        self.images.block_until_ready()
+
+    @staticmethod
+    def plan_bytes(cache, dataset, batch_size: int) -> int:
+        """Device bytes a pin would take (without pinning) — the budget
+        check the Trainer runs before committing HBM."""
+        n = len(cache.images)
+        n_pad = -(-n // int(batch_size)) * int(batch_size)
+        per_row = int(np.prod(cache.images.shape[1:]))
+        max_words = getattr(dataset, "max_words", 32)
+        return n_pad * (per_row + 4 * max_words)
+
+
+def make_resident_eval_encoder(encode_fn, split: "ResidentEvalSplit", *,
+                               needs_mask: bool = False, mesh=None,
+                               axis: str = "data"):
+    """One jitted program encoding the WHOLE pinned split.
+
+    ``encode_fn(params, aux, batch) -> pytree of [B, K] code arrays`` is the
+    RAW (unjitted) per-batch encode — the plain (img, txt) pair or TwDH's
+    multi-length dict; the scan handles any pytree.  The returned callable
+    ``encode(params, aux) -> pytree of [n, K] int8 device arrays`` is a
+    single device dispatch: the scan body gathers batch rows from the
+    resident tables (``jnp.take`` — under a mesh this lowers to [B]-index
+    collectives against the row-sharded table, like the resident train
+    step), derives ``valid``/``key_padding_mask`` on device, and stacks the
+    signed codes.  Wrap-pad parity: the streaming eval loader wrap-pads its
+    final batch and masks batch-statistics encodes by ``valid``
+    (trainer._put_eval); here padded rows are zeros with valid=False — the
+    masked statistics are identical, and padded rows' codes are sliced off.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, B, nb = split.n, split.batch, split.n_batches
+    constrain = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        if B % mesh.devices.size == 0:
+            data = NamedSharding(mesh, P(axis))
+
+            def constrain(t):  # noqa: E731 - closure over data sharding
+                return jax.lax.with_sharding_constraint(t, data)
+
+    def encode_all(params, aux, images, tokens):
+        def body(carry, i):
+            idx = i * B + jnp.arange(B, dtype=jnp.int32)
+            b = {
+                "image": jnp.take(images, idx, axis=0),
+                "text": jnp.take(tokens, idx, axis=0),
+                "index": idx,
+                "valid": idx < n,
+            }
+            if needs_mask:
+                b["key_padding_mask"] = b["text"] == 0
+            if constrain is not None:
+                b = {k: constrain(v) for k, v in b.items()}
+            out = encode_fn(params, aux, b)
+            return carry, jax.tree.map(lambda t: t.astype(jnp.int8), out)
+
+        _, ys = jax.lax.scan(body, 0, jnp.arange(nb, dtype=jnp.int32))
+        return jax.tree.map(
+            lambda t: t.reshape((nb * B,) + t.shape[2:])[:n], ys)
+
+    kw = {"out_shardings": repl} if mesh is not None else {}
+    jitted = jax.jit(encode_all, **kw)
+    return lambda params, aux: jitted(params, aux, split.images, split.tokens)
+
+
 def pack_epoch(batches):
     """[(table [n, L] uint8, spec, rows)] groups for a list of host batches.
 

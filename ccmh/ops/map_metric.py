@@ -288,7 +288,14 @@ def calc_map(
         pack_labels = (
             int(r_labels.shape[0]) * int(r_labels.shape[1]) >= _PACK_LABEL_ELEMS)
 
-    q_codes_h = onp.asarray(q_codes)
+    # device-resident inputs (zero-put validation: Trainer.get_code returns
+    # device code arrays, and the Trainer caches its label matrices on
+    # device) STAY on device — pulling them to host just to re-put per
+    # chunk would reintroduce the host round trips the resident eval path
+    # exists to avoid.  Chunk slicing/padding below is dtype-dispatched so
+    # device arrays slice/pad on device and host arrays stage with numpy.
+    q_codes_h = (q_codes if isinstance(q_codes, jax.Array)
+                 else onp.asarray(q_codes))
     if pack_labels:
         # one uint32 lane per 32 classes; chunk padding below pads packed
         # rows with zero lanes (no labels -> tsum 0 -> AP 0, as for fp32).
@@ -299,13 +306,15 @@ def calc_map(
         # the other way).
         from ccmh.ops.packing import pack_codes_np
 
-        q_labels_h = (onp.asarray(pack_codes(q_labels))
+        q_labels_h = (pack_codes(q_labels)
                       if isinstance(q_labels, jax.Array)
                       else pack_codes_np(q_labels))
         r_labels = (pack_codes(r_labels) if isinstance(r_labels, jax.Array)
                     else jnp.asarray(pack_codes_np(r_labels)))
     else:
-        q_labels_h = onp.asarray(q_labels, dtype=onp.float32)
+        q_labels_h = (q_labels.astype(jnp.float32)
+                      if isinstance(q_labels, jax.Array)
+                      else onp.asarray(q_labels, dtype=onp.float32))
     if n_bins is None:
         n_bins = q_codes_h.shape[1] + 1
 
@@ -348,10 +357,12 @@ def calc_map(
         qc = q_codes_h[start : start + size]
         ql = q_labels_h[start : start + size]
         if size < chunk:  # zero-pad: all-zero labels -> tsum 0 -> AP 0
-            qc = onp.concatenate(
-                [qc, onp.zeros((chunk - size,) + qc.shape[1:], qc.dtype)])
-            ql = onp.concatenate(
-                [ql, onp.zeros((chunk - size, ql.shape[1]), ql.dtype)])
+            xq = jnp if isinstance(qc, jax.Array) else onp
+            xl = jnp if isinstance(ql, jax.Array) else onp
+            qc = xq.concatenate(
+                [qc, xq.zeros((chunk - size,) + qc.shape[1:], qc.dtype)])
+            ql = xl.concatenate(
+                [ql, xl.zeros((chunk - size, ql.shape[1]), ql.dtype)])
         qc, ql = jnp.asarray(qc), jnp.asarray(ql)
         if q_shard is not None:
             qc = jax.device_put(qc, q_shard)

@@ -148,6 +148,7 @@ class Trainer:
         unsupported = tp > 1 or bool(getattr(cfg, "fsdp", False))
         self.train_resident = None
         self._resident_source = None
+        self._split_caches = caches   # eval residency planned in _init_model
         if caches["train"] is not None:
             from ccmh.data.resident import ResidentImages
 
@@ -295,6 +296,91 @@ class Trainer:
             self.multi_encode_step = _jax.jit(
                 lambda p, a, b: self.method.multi_encode(p, a, b, cfg, clip_cfg))
             self.max_multi: dict = {}
+        self._plan_eval_residency()
+
+    def _plan_eval_residency(self):
+        """Decide which EVAL splits pin to HBM (zero-put validation).
+
+        The streaming ``get_code`` re-transfers every query+retrieval pixel
+        batch each valid epoch — the put-bound disease device-resident
+        epochs cured for training.  Eval inputs are epoch-invariant, so a
+        split that fits the remaining per-chip budget (after the train
+        residency) pins ONCE and every later validation is a single device
+        dispatch per split (data/resident.py ResidentEvalSplit).  Query is
+        planned first (smaller, always re-encoded); splits over budget keep
+        streaming (COCO's 17 GiB retrieval split on a 16 GiB chip).  Pins
+        happen lazily at the first get_code — a valid=False training run
+        never pays them.  tp/fsdp transports stream (same gating as the
+        resident train stepper).
+        """
+        cfg = self.cfg
+        self._resident_eval: Dict[str, object] = {}        # split -> encoders
+        self._resident_eval_plan: Dict[str, object] = {}   # split -> cache
+        mode = getattr(cfg, "device_resident_images", "auto")
+        tp = getattr(self, "tp", 1)
+        if mode == "off" or tp > 1 or getattr(self, "fsdp", False):
+            return
+        from ccmh.data.resident import ResidentEvalSplit
+
+        budget = getattr(cfg, "device_resident_budget_mb", 6144) * 2**20
+        ndev = self.mesh.devices.size if self.mesh is not None else 1
+        used = self.train_resident.nbytes if self.train_resident is not None else 0
+        for split, ds in (("query", self.query_data),
+                          ("retrieval", self.retrieval_data)):
+            cache = self._split_caches.get(split)
+            if cache is None:
+                continue
+            est = ResidentEvalSplit.plan_bytes(cache, ds, cfg.eval_batch)
+            if (used + est) / ndev <= budget:
+                self._resident_eval_plan[split] = cache
+                used += est
+            else:
+                self.logger.info(
+                    f"device-resident eval: {split} streams "
+                    f"({(used + est) / ndev / 2**20:.0f} MiB/chip would "
+                    f"exceed the {budget / 2**20:.0f} MiB budget)")
+
+    def _resident_eval_encoders(self, loader: BatchIterator):
+        """(encode, multi_encode) one-dispatch encoders for ``loader``'s
+        split, pinning the split on first use; (None, None) if it streams."""
+        split, ds = None, None
+        if loader is getattr(self, "query_loader", None):
+            split, ds = "query", self.query_data
+        elif loader is getattr(self, "retrieval_loader", None):
+            split, ds = "retrieval", self.retrieval_data
+        if split is None or split not in self._resident_eval_plan:
+            return None, None
+        enc = self._resident_eval.get(split)
+        if enc is None:
+            from ccmh.data.resident import (
+                ResidentEvalSplit, make_resident_eval_encoder,
+            )
+
+            sharding = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sharding = NamedSharding(self.mesh, P("data"))
+            res = ResidentEvalSplit(
+                self._resident_eval_plan[split], ds, self.cfg.eval_batch,
+                sharding=sharding)
+            cfg, clip_cfg, method = self.cfg, self.clip_cfg, self.method
+            encode = make_resident_eval_encoder(
+                lambda p, a, b: method.encode(p, a, b, cfg, clip_cfg),
+                res, needs_mask=method.needs_mask, mesh=self.mesh)
+            multi = None
+            if method.multi_encode is not None:
+                multi = make_resident_eval_encoder(
+                    lambda p, a, b: method.multi_encode(p, a, b, cfg, clip_cfg),
+                    res, needs_mask=method.needs_mask, mesh=self.mesh)
+            enc = self._resident_eval[split] = (encode, multi)
+            self.logger.info(
+                f"device-resident eval: pinned {split} split ({res.n} items, "
+                f"{res.nbytes / 2**20:.0f} MiB"
+                + (f", row-sharded over {self.mesh.devices.size} devices"
+                   if self.mesh is not None else "")
+                + ") — zero host transfers per validation")
+        return enc
 
     # ------------------------------------------------------------------ train
     def run(self):
@@ -494,7 +580,21 @@ class Trainer:
         reference's `=` overwrite at base.py:144 is a recorded bug).
 
         With a mesh, each batch is sharded over the data axis so encoding
-        uses every chip (params are replicated; GSPMD shards the towers)."""
+        uses every chip (params are replicated; GSPMD shards the towers).
+
+        When the split is device-resident (zero-put validation,
+        data/resident.py), the whole extraction is ONE jitted dispatch over
+        the pinned pixel+token tables and the codes are returned as DEVICE
+        arrays (they feed the on-device mAP directly; np.asarray converts
+        on the rare best-epoch snapshot paths)."""
+        encode, _ = self._resident_eval_encoders(loader)
+        if encode is not None:
+            import jax as _jax
+
+            start = time.time()
+            img_codes, txt_codes = encode(self.state.params, self.state.aux)
+            _jax.block_until_ready(txt_codes)
+            return img_codes, txt_codes, time.time() - start
         img_buf = txt_buf = None  # width inferred from the first batch
         encoder_time = 0.0
         from ccmh.data.prefetch import device_prefetch
@@ -569,10 +669,22 @@ class Trainer:
             return False  # estimator verified accurate here; (a) suffices
         return hist_val > max_hist - margin
 
+    def _eval_labels_dev(self):
+        """(query, retrieval) label matrices as cached DEVICE arrays: the
+        labels never change across epochs, so putting them once makes every
+        later on-device mAP call transfer-free (calc_map keeps device
+        inputs on device)."""
+        if not hasattr(self, "_labels_dev"):
+            self._labels_dev = (
+                jnp.asarray(self.query_labels, jnp.float32),
+                jnp.asarray(self.retrieval_labels, jnp.float32))
+        return self._labels_dev
+
     def valid(self, epoch: int):
         self.logger.info("Valid.")
         q_img, q_txt, q_time = self.get_code(self.query_loader, len(self.query_data))
         r_img, r_txt, r_time = self.get_code(self.retrieval_loader, len(self.retrieval_data))
+        qL, rL = self._eval_labels_dev()
 
         # fast sweep with the sort-free expected-tie estimator; ranking is
         # sharded over the mesh when one is configured
@@ -581,7 +693,7 @@ class Trainer:
                   shard_gallery=(self.cfg.shard_gallery
                                  if self.mesh is not None else None))
         i2t, t2i, i2i, t2t = map(float, calc_map_4way(
-            q_img, q_txt, r_img, r_txt, self.query_labels, self.retrieval_labels,
+            q_img, q_txt, r_img, r_txt, qL, rL,
             **kw))
 
         # best-epoch decisions (and the values they record) use the EXACT
@@ -598,14 +710,12 @@ class Trainer:
         hist_i2t, hist_t2i = i2t, t2i
         if self._needs_exact(i2t, self.max_mapi2t, self._max_hist_i2t,
                              hist_bias=self._hist_bias):
-            i2t = float(calc_map(q_img, r_txt, self.query_labels,
-                                 self.retrieval_labels, method="exact",
+            i2t = float(calc_map(q_img, r_txt, qL, rL, method="exact",
                                  **kw_exact))
             self._hist_bias = max(self._hist_bias, abs(i2t - hist_i2t))
         if self._needs_exact(t2i, self.max_mapt2i, self._max_hist_t2i,
                              hist_bias=self._hist_bias):
-            t2i = float(calc_map(q_txt, r_img, self.query_labels,
-                                 self.retrieval_labels, method="exact",
+            t2i = float(calc_map(q_txt, r_img, qL, rL, method="exact",
                                  **kw_exact))
             self._hist_bias = max(self._hist_bias, abs(t2i - hist_t2i))
         self._max_hist_i2t = max(self._max_hist_i2t, hist_i2t)
@@ -646,6 +756,10 @@ class Trainer:
         return i2t, t2i, i2i, t2t
 
     def _get_multi_codes(self, loader: BatchIterator, length: int):
+        _, multi = self._resident_eval_encoders(loader)
+        if multi is not None:
+            out = multi(self.state.params, self.state.aux)
+            return {name: [ic, tc] for name, (ic, tc) in out.items()}
         buffers: Dict[str, list] = {}
         from ccmh.data.prefetch import device_prefetch
 
@@ -669,10 +783,11 @@ class Trainer:
         (train/TwDH/hash_train.py:219-253 valid_each)."""
         q = self._get_multi_codes(self.query_loader, len(self.query_data))
         r = self._get_multi_codes(self.retrieval_loader, len(self.retrieval_data))
+        qL, rL = self._eval_labels_dev()
         for name in q:
             i2t, t2i, i2i, t2t = map(float, calc_map_4way(
                 q[name][0], q[name][1], r[name][0], r[name][1],
-                self.query_labels, self.retrieval_labels, mesh=self.mesh,
+                qL, rL, mesh=self.mesh,
                 shard_gallery=(self.cfg.shard_gallery
                                if self.mesh is not None else None)))
             best = self.max_multi.setdefault(name, {"i2t": 0.0, "t2i": 0.0})
@@ -690,9 +805,10 @@ class Trainer:
             raise RuntimeError("test requires --pretrained (train/base.py:278)")
         q_img, q_txt, _ = self.get_code(self.query_loader, len(self.query_data))
         r_img, r_txt, _ = self.get_code(self.retrieval_loader, len(self.retrieval_data))
+        qL, rL = self._eval_labels_dev()
         # final reported numbers are the exact stable-sort metric
         i2t, t2i, i2i, t2t = map(float, calc_map_4way(
-            q_img, q_txt, r_img, r_txt, self.query_labels, self.retrieval_labels,
+            q_img, q_txt, r_img, r_txt, qL, rL,
             method="exact", dist_fn=self.eval_dist_fn,
             n_bins=self.cfg.output_dim + 1, mesh=self.mesh))
         self.logger.info(
