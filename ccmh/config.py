@@ -256,6 +256,10 @@ class Config:
     # "on" requires it, "off" always streams.
     device_resident_images: str = "auto"
     device_resident_budget_mb: int = 6144
+    # chunked (hybrid) residency for over-budget splits: superblock pixel
+    # buffer size in rows (0 = max(batch_size, 512)); the budget covers the
+    # pinned region + 2 such buffers (current + prefetched next)
+    device_resident_block_rows: int = 0
 
     # TPU-specific
     remat: bool = False                   # recompute tower activations in bwd

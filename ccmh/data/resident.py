@@ -236,6 +236,161 @@ def make_resident_epoch_step(train_step, mesh=None, axis: str = "data"):
     return stepper
 
 
+def augment_chunked_batches(batches, n_resident: int, block_rows: int):
+    """Annotate an epoch's (image-free) meta batches for HYBRID residency.
+
+    Rows ``< n_resident`` live in the pinned region; every other row
+    streams once per epoch inside fixed-size superblock pixel buffers of
+    ``block_rows`` rows.  Batches are assigned to superblocks greedily in
+    epoch order (a superblock closes when the next batch's streamed rows
+    would overflow its buffer), preserving the exact batch composition —
+    bit-exact vs full streaming/residency by construction.
+
+    Adds three per-row fields to each batch (they ride the fused epoch
+    table like every other host field):
+
+    * ``is_res``  bool  — row comes from the pinned region
+    * ``res_idx`` int32 — row index into the pinned region (0 if streamed)
+    * ``sb_pos``  int32 — row position in ITS superblock's buffer (0 if
+      resident)
+
+    Returns ``(augmented_batches, superblocks, sb_of_batch)`` where
+    ``superblocks[g]`` is the int32 array of dataset rows superblock ``g``
+    streams (in buffer order) and ``sb_of_batch[i]`` names batch i's
+    superblock.
+    """
+    superblocks, sb_of_batch = [], []
+    cur: list = []
+    augmented = []
+    for b in batches:
+        idx = np.asarray(b["index"], np.int64)
+        is_res = idx < n_resident
+        streamed = idx[~is_res]
+        if len(streamed) > block_rows:
+            raise ValueError(
+                f"block_rows={block_rows} cannot hold one batch's "
+                f"{len(streamed)} streamed rows")
+        if len(cur) + len(streamed) > block_rows and cur:
+            superblocks.append(np.asarray(cur, np.int32))
+            cur = []
+        sb_pos = np.zeros(len(idx), np.int32)
+        sb_pos[~is_res] = len(cur) + np.arange(len(streamed), dtype=np.int32)
+        cur.extend(int(i) for i in streamed)
+        b = dict(b)
+        b["is_res"] = is_res
+        b["res_idx"] = np.where(is_res, idx, 0).astype(np.int32)
+        b["sb_pos"] = sb_pos
+        augmented.append(b)
+        sb_of_batch.append(len(superblocks))
+    superblocks.append(np.asarray(cur, np.int32))   # last (possibly empty)
+    return augmented, superblocks, sb_of_batch
+
+
+def make_chunked_epoch_step(train_step, mesh=None, axis: str = "data"):
+    """Zero-puts-per-step stepping for HYBRID residency.
+
+    Same contract as :func:`make_resident_epoch_step` plus a per-superblock
+    pixel buffer argument: the fused program slices its meta row, unpacks,
+    builds the image batch by selecting per row between the pinned region
+    (``jnp.take(res_images, res_idx)``) and the superblock buffer
+    (``jnp.take(sb_buf, sb_pos)``), and runs the step.  Host traffic is one
+    buffer put per superblock — amortized over its many steps and
+    double-buffered by the caller — instead of per step.
+
+        state, metrics, counter = stepper(state, table, spec, counter,
+                                          epoch, res_images, sb_buf)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cache = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+
+    def stepper(state, table, spec, counter, epoch, res_images, sb_buf):
+        key = (spec, table.shape, sb_buf.shape)
+        fn = cache.get(key)
+        if fn is None:
+            unpack = FusedBatchPut.build_unpack(spec)
+
+            def fused_step(state, table, counter, epoch, res_images, sb_buf):
+                buf = jax.lax.dynamic_slice(
+                    table, (counter, 0), (1, table.shape[1]))[0]
+                b = unpack(buf)
+                if mesh is not None:
+                    b = {k: jax.lax.with_sharding_constraint(v, data)
+                         for k, v in b.items()}
+                is_res = b.pop("is_res")
+                res_idx = b.pop("res_idx")
+                sb_pos = b.pop("sb_pos")
+                img = jnp.where(
+                    is_res[:, None, None, None],
+                    jnp.take(res_images, res_idx, axis=0),
+                    jnp.take(sb_buf, sb_pos, axis=0))
+                if mesh is not None:
+                    img = jax.lax.with_sharding_constraint(img, data)
+                b["image"] = img
+                b["epoch"] = epoch
+                new_state, metrics = train_step(state, b)
+                return new_state, metrics, counter + 1
+
+            kw = {}
+            if mesh is not None:
+                kw["out_shardings"] = (repl, repl, repl)
+            fn = jax.jit(fused_step, donate_argnums=(0,), **kw)
+            cache[key] = fn
+        return fn(state, table, counter, epoch, res_images, sb_buf)
+
+    return stepper
+
+
+class AsyncBlockPut:
+    """Background-thread device_put of superblock pixel buffers.
+
+    The put of superblock g+1 is issued while superblock g's steps compute,
+    so an epoch's streamed-pixel transfer overlaps device time instead of
+    serializing with it (on the bench host's relay, puts are the bound —
+    overlap is the whole point of superblocking).
+    """
+
+    def __init__(self, sharding=None):
+        self._sharding = sharding
+        self._pending = {}
+
+    def start(self, key, buf_np):
+        import threading
+
+        import jax
+
+        if key in self._pending:
+            return
+        slot = {}
+
+        def work():
+            try:
+                arr = (jax.device_put(buf_np, self._sharding)
+                       if self._sharding is not None
+                       else jax.device_put(buf_np))
+                arr.block_until_ready()
+                slot["arr"] = arr
+            except Exception as e:  # noqa: BLE001 - re-raised at get()
+                slot["err"] = e
+
+        th = threading.Thread(target=work, daemon=True)
+        th.start()
+        self._pending[key] = (th, slot)
+
+    def get(self, key):
+        th, slot = self._pending.pop(key)
+        th.join()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["arr"]
+
+
 class ResidentEvalSplit:
     """An EVAL split pinned whole to device memory + a one-dispatch encoder.
 

@@ -335,21 +335,36 @@ def calc_map(
             q_shard = NamedSharding(mesh, P(mesh_axis))
             gal_shard = repl
 
-    r_codes = jnp.asarray(r_codes)
+    # multi-controller meshes route every placement through
+    # global_device_put (each process lands its addressable shards of the
+    # identical host data); single-process this is plain device_put
+    from ccmh.parallel.mesh import global_device_put
+
+    multiproc = jax.process_count() > 1
+    if multiproc and mesh is not None:
+        # non-addressable device_put is illegal; stage through host numpy
+        # (codes/labels at eval scale are tiny next to the distance matrix)
+        r_codes = onp.asarray(r_codes)
+        r_labels = (onp.asarray(r_labels) if not pack_labels
+                    else onp.asarray(r_labels))
+        xg = onp
+    else:
+        r_codes = jnp.asarray(r_codes)
+        xg = jnp
     if not pack_labels:
-        r_labels = jnp.asarray(r_labels, dtype=jnp.float32)
+        r_labels = xg.asarray(r_labels, dtype=xg.float32)
     if shard_gallery:
         pad_n = (-num_gallery) % ndev
         if pad_n:
-            r_codes = jnp.concatenate(
-                [r_codes, jnp.zeros((pad_n,) + r_codes.shape[1:], r_codes.dtype)])
-            r_labels = jnp.concatenate(
-                [r_labels, jnp.zeros((pad_n, r_labels.shape[1]), r_labels.dtype)])
-        r_valid = jnp.arange(num_gallery + pad_n) < num_gallery
-        r_valid = jax.device_put(r_valid, gal_shard)
+            r_codes = xg.concatenate(
+                [r_codes, xg.zeros((pad_n,) + r_codes.shape[1:], r_codes.dtype)])
+            r_labels = xg.concatenate(
+                [r_labels, xg.zeros((pad_n, r_labels.shape[1]), r_labels.dtype)])
+        r_valid = xg.arange(num_gallery + pad_n) < num_gallery
+        r_valid = global_device_put(r_valid, gal_shard)
     if gal_shard is not None:
-        r_codes = jax.device_put(r_codes, gal_shard)
-        r_labels = jax.device_put(r_labels, gal_shard)
+        r_codes = global_device_put(r_codes, gal_shard)
+        r_labels = global_device_put(r_labels, gal_shard)
 
     total = jnp.zeros((), jnp.float32)
     for start in range(0, num_query, chunk):
@@ -363,10 +378,11 @@ def calc_map(
                 [qc, xq.zeros((chunk - size,) + qc.shape[1:], qc.dtype)])
             ql = xl.concatenate(
                 [ql, xl.zeros((chunk - size, ql.shape[1]), ql.dtype)])
-        qc, ql = jnp.asarray(qc), jnp.asarray(ql)
         if q_shard is not None:
-            qc = jax.device_put(qc, q_shard)
-            ql = jax.device_put(ql, q_shard)
+            qc = global_device_put(qc, q_shard)
+            ql = global_device_put(ql, q_shard)
+        else:
+            qc, ql = jnp.asarray(qc), jnp.asarray(ql)
         if use_hist:
             total = total + _map_chunk_hist(
                 qc, r_codes, ql, r_labels, n_bins, dist_fn, r_valid)

@@ -72,21 +72,44 @@ def shard_host_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = "data") -> D
     return out
 
 
+def global_device_put(x, sharding=None):
+    """``device_put`` that also works on MULTI-CONTROLLER meshes.
+
+    Single-process: plain ``jax.device_put``.  Multi-process (a mesh whose
+    devices span jax processes): ``device_put`` cannot target
+    non-addressable devices, so the global array is assembled from each
+    process's addressable shards via ``jax.make_array_from_callback`` —
+    the caller must hold the IDENTICAL full host array in every process
+    (true for ccmh's loaders/labels/galleries: they are pure functions of
+    the seed), and the callback hands each local shard its slice with no
+    cross-host traffic.
+    """
+    if sharding is None or jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, Any], axis: str = "data") -> Dict[str, Any]:
     """Place a host batch with the leading dim sharded over the mesh
-    (scalar entries, e.g. the epoch counter, replicate)."""
+    (scalar entries, e.g. the epoch counter, replicate).  Works on
+    multi-controller meshes: every process feeds the identical global
+    batch and lands only its addressable rows (global_device_put)."""
     data = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     out = {}
     for k, v in batch.items():
-        arr = jnp.asarray(v)
-        out[k] = jax.device_put(arr, data if arr.ndim >= 1 else repl)
+        arr = np.asarray(v) if jax.process_count() > 1 else jnp.asarray(v)
+        out[k] = global_device_put(arr, data if arr.ndim >= 1 else repl)
     return out
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(lambda t: global_device_put(t, sharding), tree)
 
 
 def data_parallel_train_step(step_fn, mesh: Mesh, axis: str = "data"):

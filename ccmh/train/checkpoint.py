@@ -52,6 +52,26 @@ _LEGACY_META = {
 DEFAULT_META = {**_LEGACY_META, "step_in_epoch": 0.0}
 
 
+def _save_checkpointer() -> ocp.Checkpointer:
+    """A checkpointer for the SAVE side.
+
+    Single-process: the stock StandardCheckpointer.  Multi-controller: the
+    Trainer gates saves to process 0 (state is replicated; the data is
+    host numpy by then), but orbax's default checkpointer still runs
+    cross-process barriers — a process-0-only save would deadlock against
+    peers that never call it (observed: the non-lead worker proceeded to
+    the next epoch's collective and hit the 30 s gloo rendezvous timeout).
+    Scope the checkpointer to ``active_processes={0}`` so its barriers
+    involve only the process that actually saves.
+    """
+    if jax.process_count() == 1:
+        return ocp.StandardCheckpointer()
+    return ocp.AsyncCheckpointer(
+        ocp.StandardCheckpointHandler(),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=0, active_processes={0}))
+
+
 def _pack(state: TrainState, epoch: int, meta: Optional[Dict[str, float]]) -> Any:
     # None members (methods without loss-side extras, e.g. DCHMT) are
     # omitted from the tree — orbax cannot serialise a None placeholder —
@@ -102,7 +122,7 @@ def save_state(
     root = os.path.abspath(ckpt_root)
     os.makedirs(root, exist_ok=True)
     slot = os.path.join(root, f"e{epoch:06d}")
-    with ocp.StandardCheckpointer() as ckptr:
+    with _save_checkpointer() as ckptr:
         tmp = jax.tree.map(np.asarray, _pack(state, epoch, meta))
         # re-saving the same epoch (e.g. a restarted run) may overwrite
         ckptr.save(slot, tmp, force=os.path.isdir(slot))
@@ -146,7 +166,7 @@ class AsyncStateSaver:
     ) -> str:
         self.wait()  # finalize + prune the previous slot first
         if self._ckptr is None:
-            self._ckptr = ocp.StandardCheckpointer()
+            self._ckptr = _save_checkpointer()
         root = os.path.abspath(ckpt_root)
         os.makedirs(root, exist_ok=True)
         slot = os.path.join(root, f"e{epoch:06d}")

@@ -53,11 +53,19 @@ class Trainer:
 
             enable_compilation_cache(cfg.compilation_cache)
         os.makedirs(cfg.save_dir, exist_ok=True)
+        # multi-host (multi-controller) runs: every process executes the
+        # same Trainer; files that must be written once (checkpoints, .mat,
+        # csv) are gated to process 0, and per-process streams (log,
+        # metrics) get a ".pN" suffix so they never interleave
+        self.process_index = jax.process_index()
+        self.is_lead = self.process_index == 0
+        psuf = f".p{self.process_index}" if not self.is_lead else ""
         self.logger = get_logger(
-            os.path.join(cfg.save_dir, "train.log" if cfg.is_train else "test.log"))
+            os.path.join(cfg.save_dir,
+                         ("train.log" if cfg.is_train else "test.log") + psuf))
         self.metrics = MetricsWriter(
-            os.path.join(cfg.save_dir, "metrics.jsonl"),
-            tensorboard_dir=os.path.join(cfg.save_dir, "tensorboard"))
+            os.path.join(cfg.save_dir, "metrics.jsonl" + psuf),
+            tensorboard_dir=os.path.join(cfg.save_dir, "tensorboard" + psuf))
         self.method = get_method(cfg.method)
 
         # resolve the tower checkpoint BEFORE the datasets: the transform
@@ -145,25 +153,39 @@ class Trainer:
         # waits for _init_model, where the mesh exists.
         tp = cfg.mesh_shape[1] if len(cfg.mesh_shape) > 1 else 1
         dp = cfg.mesh_shape[0] if cfg.mesh_shape else 1
-        unsupported = tp > 1 or bool(getattr(cfg, "fsdp", False))
+        # multi-controller runs stream for now: the resident tables would
+        # need per-process local-shard pinning (a natural extension; the
+        # transport falls back to the multihost-safe shard_batch path)
+        unsupported = (tp > 1 or bool(getattr(cfg, "fsdp", False))
+                       or jax.process_count() > 1)
         self.train_resident = None
         self._resident_source = None
+        self._chunked_source = None
         self._split_caches = caches   # eval residency planned in _init_model
         if caches["train"] is not None:
             from ccmh.data.resident import ResidentImages
 
+            mode = getattr(cfg, "device_resident_images", "auto")
             if ResidentImages.plan(
                     caches["train"],
                     budget_mb=getattr(cfg, "device_resident_budget_mb", 6144),
-                    mode=getattr(cfg, "device_resident_images", "auto"),
+                    mode=mode,
                     ndev=max(dp, 1), unsupported_transport=unsupported,
                     logger=self.logger):
                 self._resident_source = caches["train"]
+            elif mode == "auto" and not unsupported:
+                # over-budget split on a supported transport: HYBRID
+                # residency (data/resident.py chunked mode) — pin what the
+                # budget allows, stream the rest once per epoch in
+                # double-buffered superblock buffers instead of the
+                # per-step put cliff
+                self._chunked_source = caches["train"]
         self.train_loader = BatchIterator(
             self.train_data, cfg.batch_size,
             shuffle=getattr(cfg, "shuffle", True), seed=cfg.seed,
             num_workers=nw, image_cache=caches["train"], ragged_last=ragged,
-            with_images=self._resident_source is None)
+            with_images=(self._resident_source is None
+                         and self._chunked_source is None))
         self.query_loader = BatchIterator(
             self.query_data, cfg.eval_batch, shuffle=False, seed=cfg.seed,
             num_workers=nw, image_cache=caches["query"])
@@ -287,16 +309,92 @@ class Trainer:
                 f"items ({self.train_resident.nbytes / 2**20:.0f} MiB"
                 + (f", row-sharded over {self.mesh.devices.size} devices"
                    if self.mesh is not None else "") + ")")
-        self.encode_step = self.method.make_encode_fn(cfg, clip_cfg)
+        self.train_chunked = None
+        if self._chunked_source is not None:
+            self._init_chunked_residency()
+        if self.mesh is not None:
+            # replicate the (tiny) code outputs: the host-side scatter in
+            # get_code needs fully-addressable arrays — on a single host
+            # this is a cheap gather; on a multi-controller mesh it is
+            # what makes np.asarray(codes) legal in every process
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            self.encode_step = jax.jit(
+                lambda p, a, b: self.method.encode(p, a, b, cfg, clip_cfg),
+                out_shardings=repl)
+        else:
+            self.encode_step = self.method.make_encode_fn(cfg, clip_cfg)
         self.eval_dist_fn = self.method.dist_fn(cfg) if self.method.dist_fn else None
         self.multi_encode_step = None
         if self.method.multi_encode is not None:
             import jax as _jax
 
+            kw = {}
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                kw["out_shardings"] = NamedSharding(self.mesh, P())
             self.multi_encode_step = _jax.jit(
-                lambda p, a, b: self.method.multi_encode(p, a, b, cfg, clip_cfg))
+                lambda p, a, b: self.method.multi_encode(p, a, b, cfg, clip_cfg),
+                **kw)
             self.max_multi: dict = {}
         self._plan_eval_residency()
+
+    def _init_chunked_residency(self):
+        """HYBRID residency for an over-budget train split (VERDICT r4 #2).
+
+        The budget covers a pinned REGION of the split (rows < R, never
+        re-transferred) plus two superblock pixel buffers of M rows each
+        (current + the double-buffered next).  Each epoch streams only the
+        non-resident rows, one buffer put per superblock overlapped with
+        that block's steps — per-epoch transfer degrades LINEARLY in the
+        over-budget fraction instead of cliff-dropping to the per-step
+        streaming rate.  Bit-exact: batch composition/order are untouched;
+        rows are merely sourced from region vs buffer (data/resident.py
+        augment_chunked_batches / make_chunked_epoch_step).
+        """
+        import numpy as _np
+
+        from ccmh.data.resident import ResidentImages
+
+        cfg = self.cfg
+        cache = self._chunked_source
+        row_bytes = int(_np.prod(cache.images.shape[1:]))
+        n = len(cache.images)
+        ndev = self.mesh.devices.size if self.mesh is not None else 1
+        budget = getattr(cfg, "device_resident_budget_mb", 6144) * 2**20
+        m = int(getattr(cfg, "device_resident_block_rows", 0)) or max(
+            cfg.batch_size, 512)
+        m = min(m, n)
+        if budget <= 2 * m * row_bytes:   # buffers alone would blow it
+            m = max(cfg.batch_size, 1)
+        r = int(min(n, max(1, ndev * (budget - 2 * m * row_bytes)
+                           // row_bytes)))
+        # a barely-over-budget split streams only a few rows per epoch —
+        # don't ship a mostly-padding buffer for them: cap the block at the
+        # streamed remainder (>= one batch) and re-grow the region with the
+        # budget the smaller buffers freed
+        m2 = max(cfg.batch_size, min(m, n - r))
+        if m2 < m:
+            m = m2
+            r = int(min(n, max(1, ndev * (budget - 2 * m * row_bytes)
+                               // row_bytes)))
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P("data"))
+        region = ResidentImages(cache.images[:r], sharding=sharding)
+        self.train_chunked = {"region": region, "R": r, "M": m,
+                              "cache": cache, "row_shape": cache.images.shape[1:]}
+        self.logger.info(
+            f"device-resident images [chunked]: pinned rows 0..{r} of {n} "
+            f"({region.nbytes / 2**20:.0f} MiB"
+            + (f", row-sharded over {ndev} devices" if ndev > 1 else "")
+            + f"); the remaining {n - r} rows stream once per epoch in "
+            f"{m}-row double-buffered superblocks "
+            f"({m * row_bytes / 2**20:.0f} MiB each)")
 
     def _plan_eval_residency(self):
         """Decide which EVAL splits pin to HBM (zero-put validation).
@@ -318,13 +416,22 @@ class Trainer:
         self._resident_eval_plan: Dict[str, object] = {}   # split -> cache
         mode = getattr(cfg, "device_resident_images", "auto")
         tp = getattr(self, "tp", 1)
-        if mode == "off" or tp > 1 or getattr(self, "fsdp", False):
+        if (mode == "off" or tp > 1 or getattr(self, "fsdp", False)
+                or jax.process_count() > 1):
             return
         from ccmh.data.resident import ResidentEvalSplit
 
         budget = getattr(cfg, "device_resident_budget_mb", 6144) * 2**20
         ndev = self.mesh.devices.size if self.mesh is not None else 1
         used = self.train_resident.nbytes if self.train_resident is not None else 0
+        if getattr(self, "train_chunked", None) is not None:
+            # chunked training consumes (by construction) essentially the
+            # whole budget: region + 2 replicated superblock buffers
+            ck = self.train_chunked
+            import numpy as _np
+
+            row = int(_np.prod(ck["row_shape"]))
+            used += ck["region"].nbytes + 2 * ck["M"] * row * ndev
         for split, ds in (("query", self.query_data),
                           ("retrieval", self.retrieval_data)):
             cache = self._split_caches.get(split)
@@ -465,7 +572,7 @@ class Trainer:
         losses = []
         start = time.time()
         epoch_scalar = jnp.asarray(epoch, jnp.int32)
-        if self.train_resident is not None:
+        if self.train_resident is not None or self.train_chunked is not None:
             pass   # resident epochs need no per-batch put at all (below)
         elif self.mesh is not None:
             from ccmh.parallel.mesh import shard_batch
@@ -539,6 +646,77 @@ class Trainer:
                 state, metrics, holder[0] = self._resident_epoch_stepper(
                     state, table, spec, holder[0], epoch_scalar,
                     self.train_resident.images)
+                return state, metrics
+        elif self.train_chunked is not None:
+            # HYBRID residency (data/resident.py chunked mode): the pinned
+            # region never re-transfers; only the over-budget remainder
+            # streams, one superblock pixel-buffer put per many steps,
+            # double-buffered behind the previous block's compute.  Meta
+            # rides the one-put epoch table exactly like full residency.
+            from ccmh.data.resident import (
+                AsyncBlockPut, augment_chunked_batches,
+                make_chunked_epoch_step, pack_epoch,
+            )
+
+            if not hasattr(self, "_chunked_epoch_stepper"):
+                self._chunked_epoch_stepper = make_chunked_epoch_step(
+                    self._raw_step if self.mesh is not None
+                    else self.train_step, mesh=self.mesh)
+            repl = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                repl = NamedSharding(self.mesh, P())
+            ck = self.train_chunked
+
+            def chunked_stream():
+                cache, r_rows, m_rows = ck["cache"], ck["R"], ck["M"]
+                n_target = len(self.train_loader)
+                aug, sblocks, sb_of_batch = augment_chunked_batches(
+                    list(self.train_loader), r_rows, m_rows)
+                putter = AsyncBlockPut(sharding=repl)
+                row_shape = ck["row_shape"]
+
+                def start_block(g):
+                    idx = sblocks[g]
+                    buf = np.zeros((m_rows,) + tuple(row_shape), np.uint8)
+                    if len(idx):
+                        buf[: len(idx)] = cache.gather(idx)
+                    putter.start(g, buf)
+
+                start_block(0)
+                step = 0
+                current = {"g": None, "buf": None}
+                for table_np, spec, n_rows in pack_epoch(aug):
+                    pad = n_target - table_np.shape[0]
+                    if pad > 0:   # resumed epochs reuse the warm shape
+                        table_np = np.concatenate([
+                            table_np,
+                            np.zeros((pad, table_np.shape[1]), np.uint8)])
+                    table = (jax.device_put(table_np, repl)
+                             if repl is not None
+                             else jax.device_put(table_np))
+                    counter = jnp.zeros((), jnp.int32)
+                    if repl is not None:
+                        counter = jax.device_put(counter, repl)
+                    holder = [counter]
+                    for _ in range(n_rows):
+                        g = sb_of_batch[step]
+                        if current["g"] != g:
+                            current["buf"] = putter.get(g)
+                            current["g"] = g
+                            if g + 1 < len(sblocks):
+                                start_block(g + 1)   # overlap next block
+                        yield (table, spec, holder, current["buf"])
+                        step += 1
+
+            stream = chunked_stream()
+
+            def run_step(state, item):
+                table, spec, holder, sb_buf = item
+                state, metrics, holder[0] = self._chunked_epoch_stepper(
+                    state, table, spec, holder[0], epoch_scalar,
+                    ck["region"].images, sb_buf)
                 return state, metrics
         else:
             stream = device_prefetch(
@@ -740,7 +918,7 @@ class Trainer:
         self.metrics.write("valid", self.global_step, epoch=epoch, i2t=i2t,
                            t2i=t2i, i2i=i2i, t2t=t2t,
                            q_encoder_time=q_time, r_encoder_time=r_time)
-        if self.cfg.save_csv:
+        if self.cfg.save_csv and self.is_lead:
             # the reference declares --save_csv but never writes anything
             # (argsbase.py:11, SURVEY §5); here it produces the per-epoch
             # mAP table the flag promises.
@@ -822,6 +1000,8 @@ class Trainer:
         device (ops/pr_curve.py) and written next to the code dumps.  The
         reference stops at dumping the raw codes for external plotting;
         this writes the plottable curves themselves."""
+        if not self.is_lead:
+            return
         from ccmh.ops.pr_curve import compute_hists, pr_curve, precision_at_n
 
         save_dir = os.path.join(self.cfg.save_dir, "PR_cruve")
@@ -848,6 +1028,8 @@ class Trainer:
 
     def save_mat(self, q_img, q_txt, r_img, r_txt, mode_name="i2t"):
         """.mat export interoperable with reference tooling (train/base.py:328-349)."""
+        if not self.is_lead:
+            return   # identical codes in every process; process 0 writes
         save_dir = os.path.join(self.cfg.save_dir, "PR_cruve")
         os.makedirs(save_dir, exist_ok=True)
         scio.savemat(
@@ -874,6 +1056,8 @@ class Trainer:
         ``step_in_epoch`` > 0 marks a mid-epoch PREEMPTION checkpoint:
         ``epoch`` is then the epoch in progress, and resume fast-forwards
         the (deterministically keyed) loader past the completed steps."""
+        if not self.is_lead:
+            return   # multi-host: state is replicated, process 0 writes
         from ccmh.train.checkpoint import AsyncStateSaver, save_state
 
         state = self._canonical_state()
@@ -968,6 +1152,8 @@ class Trainer:
         return state
 
     def save_checkpoint(self, path: str):
+        if not self.is_lead:
+            return   # multi-host: replicated weights, process 0 writes
         state = self._canonical_state()
         tree = {
             "params": state.params,
