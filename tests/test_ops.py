@@ -197,6 +197,48 @@ def test_map_4way_shapes():
         assert 0.0 <= float(v) <= 1.0
 
 
+def test_map_4way_fused_equals_sequential():
+    """The single-dispatch fused quartet must match four sequential
+    calc_map calls exactly — same subcomputations, one program — for both
+    metrics, numpy and device inputs, with and without a mesh."""
+    from jax.sharding import Mesh
+    from ccmh.ops.map_metric import _try_fused_4way
+
+    qi = random_codes(24, 16, 1).astype(np.int8)
+    qt = random_codes(24, 16, 2).astype(np.int8)
+    ri = random_codes(100, 16, 3).astype(np.int8)
+    rt = random_codes(100, 16, 4).astype(np.int8)
+    ql = random_labels(24, 6, 5)
+    rl = random_labels(100, 6, 6)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+    for method in ("hist", "exact"):
+        for dev in (False, True):
+            args = [jnp.asarray(x) if dev else x
+                    for x in (qi, qt, ri, rt, ql, rl)]
+            for m in (None, mesh):
+                fused = _try_fused_4way(
+                    *args, k=None, method=method, dist_fn=None, n_bins=None,
+                    mesh=m, pack_labels=None, shard_gallery=None)
+                assert fused is not None
+                seq = [calc_map(a, b, args[4], args[5], method=method,
+                                mesh=m)
+                       for a, b in ((args[0], args[3]), (args[1], args[2]),
+                                    (args[0], args[2]), (args[1], args[3]))]
+                for f, s, name in zip(fused, seq,
+                                      ("i2t", "t2i", "i2i", "t2t")):
+                    np.testing.assert_allclose(
+                        float(f), float(s), rtol=0, atol=1e-6,
+                        err_msg=f"{method} dev={dev} mesh={m is not None} "
+                                f"{name}")
+    # fall-back guards: shard_gallery and pack_labels regimes return None
+    assert _try_fused_4way(qi, qt, ri, rt, ql, rl, k=None, method="hist",
+                           dist_fn=None, n_bins=None, mesh=mesh,
+                           pack_labels=True, shard_gallery=None) is None
+    assert _try_fused_4way(qi, qt, ri, rt, ql, rl, k=None, method="hist",
+                           dist_fn=None, n_bins=None, mesh=mesh,
+                           pack_labels=None, shard_gallery=True) is None
+
+
 def test_hist_map_close_to_exact():
     """Expected-tie (hist) estimator agrees with the exact stable metric
     within tie-permutation noise, and exactly on tie-free data."""
