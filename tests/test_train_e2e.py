@@ -522,6 +522,42 @@ def test_compilation_cache_flag(tmp_path):
         _jax.config.update("jax_compilation_cache_dir", None)
 
 
+def test_preemption_mid_epoch_resume_bit_exact_chunked(tmp_path):
+    """The preemption/resume contract under CHUNKED (hybrid) residency:
+    the resumed epoch re-derives its superblock assignment from the
+    remaining batches (a pure function of the loader stream) and the
+    padded epoch table reuses the warm program shape.  Final
+    params/moments bit-match an uninterrupted CHUNKED run."""
+    kw = dict(epochs=2, valid=False, cache_images=True,
+              device_resident_budget_mb=0.05, display_step=1)
+    t_ref = make_trainer("DSPH", tmp_path / "ref", **kw)
+    assert t_ref.train_resident is None and t_ref.train_chunked is not None
+    t_ref.train()
+
+    t_a = make_trainer("DSPH", tmp_path / "ab", **kw)
+    orig_write = t_a.metrics.write
+
+    def spy(tag, step, **m):
+        orig_write(tag, step, **m)
+        if tag == "train" and t_a.global_step == 3:
+            t_a.request_preempt()   # lands at epoch 1 step 1 of 2
+
+    t_a.metrics.write = spy
+    t_a.train()
+    assert t_a.global_step == 3
+
+    t_b = make_trainer("DSPH", tmp_path / "ab", resume=True, **kw)
+    assert t_b.train_chunked is not None
+    t_b.train()
+    assert int(t_b.state.step) == int(t_ref.state.step)
+    for x, y in zip(jax.tree.leaves(t_ref.state.params),
+                    jax.tree.leaves(t_b.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(t_ref.state.opt_state),
+                    jax.tree.leaves(t_b.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_preemption_mid_epoch_resume_bit_exact_resident(tmp_path):
     """The preemption/resume contract holds under device-resident epochs:
     the zero-put epoch-table flow (data/resident.py) must fast-forward via
