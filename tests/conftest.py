@@ -15,9 +15,18 @@ import unicodedata
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8")
+if "collective_call_terminate" not in xla_flags:
+    # 8 virtual devices on ONE core: every cross-device collective is N
+    # starved threads rendezvousing; late in the full suite a participant
+    # can be scheduled out past XLA:CPU's default terminate timeout, which
+    # ABORTS the process (observed: SIGABRT in test_tp at ~70% of the
+    # suite, with 20s "may be stuck ... unstuck! false-positive" warnings
+    # in smaller repros).  Raise both thresholds far beyond worst-case
+    # 1-core scheduling skew.
+    xla_flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = xla_flags.strip()
 
 # The image's sitecustomize imports jax at interpreter start (axon TPU
 # plugin), freezing JAX_PLATFORMS before conftest runs — override through

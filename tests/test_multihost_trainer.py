@@ -34,7 +34,9 @@ def _spawn(nproc, port, data_dir, save_dir, epochs, resume=False):
     # the collective while its peer is still compiling
     env = {**os.environ, "JAX_PLATFORMS": "cpu",
            "XLA_FLAGS": ("--xla_force_host_platform_device_count=4 "
-                         "--xla_cpu_collective_timeout_seconds=600")}
+                         "--xla_cpu_collective_timeout_seconds=600 "
+                         "--xla_cpu_collective_call_warn_stuck_timeout_seconds=300 "
+                         "--xla_cpu_collective_call_terminate_timeout_seconds=1200")}
     cmd = lambda i: [sys.executable, WORKER, str(i), str(nproc), str(port),
                      data_dir, save_dir, str(epochs)] + (
                          ["--resume"] if resume else [])

@@ -166,7 +166,9 @@ def test_two_process_distributed():
         port = s.getsockname()[1]
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
     env = {**os.environ, "JAX_PLATFORMS": "cpu",
-           "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+           "XLA_FLAGS": ("--xla_force_host_platform_device_count=2 "
+                         "--xla_cpu_collective_call_warn_stuck_timeout_seconds=300 "
+                         "--xla_cpu_collective_call_terminate_timeout_seconds=1200")}
     procs = [subprocess.Popen(
         [_sys.executable, worker, str(i), "2", str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
